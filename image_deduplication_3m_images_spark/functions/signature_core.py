@@ -1,0 +1,110 @@
+"""Signature math shared by the pandas UDFs, the pure-Python test oracle and
+the DuckDB oracle SQL.  No Spark imports here — importable everywhere.
+
+Webtext analog of the reference's per-item feature extractors:
+
+* shingling + MinHash  <- wavelet perceptual hash
+  (``/root/reference/modules/feature_extraction.py:278-315``)
+* SimHash              <- global EfficientNet embedding
+  (``/root/reference/modules/feature_extraction.py:206-237``)
+
+All hashes derive from md5 of the shingle string so the exact same integers
+are reproducible in SQL (``conv(substr(md5(s),1,8),16,10)``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from image_deduplication_3m_images_spark.config import MINHASH_PRIME, DedupConfig
+
+
+def tokenize(text: str) -> list[str]:
+    """Split on single spaces, drop empty tokens.
+
+    Matches ``split(text, ' ')`` + non-empty filter in both Spark SQL and
+    DuckDB (``list_filter(string_split(text,' '), x -> x <> '')``).
+    """
+    return [t for t in text.split(" ") if t]
+
+
+def shingles(text: str, k: int) -> list[str]:
+    """k-gram token shingles; degenerate inputs (< k tokens) yield one shingle
+    that is the whole (space-joined) text — documented constant behavior, never
+    an exception (reference analog: None-feature guards,
+    ``/root/reference/modules/deduplication.py:236-237,1466-1476``).
+    """
+    toks = tokenize(text)
+    if len(toks) >= k:
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return [" ".join(toks)]
+
+
+def shingle_hashes(text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Return (h32, h64) uint64 arrays: first 8 / first 16 hex chars of
+    md5(shingle) parsed as integers.  h32 feeds MinHash, h64 feeds SimHash.
+    """
+    digs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in shingles(text, k)]
+    h32 = np.array([int(d[:8], 16) for d in digs], dtype=np.uint64)
+    h64 = np.array([int(d[:16], 16) for d in digs], dtype=np.uint64)
+    return h32, h64
+
+
+def minhash_from_h32(h32: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized MinHash: min over shingles of (a_j*h + b_j) mod P, per j.
+
+    Shapes: h32 (S,), a/b (128,) -> result (128,) int64.  The (S,128) product
+    matrix stays in uint64 (max value < 2**63, proven in config.py).
+    """
+    if h32.size == 0:
+        h32 = np.zeros(1, dtype=np.uint64)
+    prod = h32[:, None] * a[None, :] + b[None, :]  # (S, 128) uint64, no overflow
+    return (prod % np.uint64(MINHASH_PRIME)).min(axis=0).astype(np.int64)
+
+
+def simhash_from_h64(h64: np.ndarray) -> int:
+    """64-bit SimHash: bit b is set iff strictly more than half of the shingle
+    hashes have bit b set (ties -> 0).  Returned as *signed* int64 (two's
+    complement) so it round-trips through a Spark/DuckDB BIGINT column.
+    """
+    if h64.size == 0:
+        h64 = np.zeros(1, dtype=np.uint64)
+    n = h64.size
+    bits = (h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ones = bits.sum(axis=0, dtype=np.int64)  # (64,)
+    set_bits = (2 * ones) > n
+    unsigned = np.uint64(0)
+    for pos in np.nonzero(set_bits)[0]:
+        unsigned |= np.uint64(1) << np.uint64(pos)
+    return int(np.int64(unsigned))
+
+
+def signature_py(text: str, cfg: DedupConfig) -> dict:
+    """Pure-Python/NumPy single-row oracle used by unit tests (FIXTURES.md §4:
+    'signature determinism') and mirrored by the vectorized UDF batch path.
+    """
+    a = np.array(cfg.perm_a, dtype=np.uint64)
+    b = np.array(cfg.perm_b, dtype=np.uint64)
+    h32, h64 = shingle_hashes(text, cfg.shingle_k)
+    toks = tokenize(text)
+    n_sh = max(len(toks) - cfg.shingle_k + 1, 1) if toks else 1
+    return {
+        "n_shingles": n_sh,
+        "minhash": minhash_from_h32(h32, a, b).tolist(),
+        "simhash": simhash_from_h64(h64),
+    }
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def jaccard_est(sig_a: list[int], sig_b: list[int]) -> float:
+    """Fraction of equal signature positions — the MinHash Jaccard estimator
+    (reference analog: ``compute_wavelet_similarity`` = mean(hash1 == hash2),
+    ``/root/reference/modules/deduplication.py:234-238``).
+    """
+    eq = sum(1 for x, y in zip(sig_a, sig_b) if x == y)
+    return eq / len(sig_a)

@@ -1,0 +1,141 @@
+"""Per-document text functions — the webtext analog of the reference's
+per-item map operators (SURVEY.md §2.2).
+
+Everything here is either a JVM-side Column expression (whole-stage codegen,
+the fast path) or a vectorized pandas UDF (only ``extract_text``, which needs
+real string parsing).  Reference analogs cited per function.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# M1: HTML -> text extraction (reference: decode_image,
+# /root/reference/modules/feature_extraction.py:41-51).  Must be byte-stable
+# per url — the per-row invariant of BASELINE.json.
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = r"<title>(.*?)</title>"
+_PARA_RE = r"<p>(.*?)</p>"
+
+
+def _extract_text_pd(html: pd.Series) -> pd.Series:
+    """Deterministic extraction: title + one line per <p>, joined by '\\n'.
+
+    Vectorized with pandas C-level str ops; no per-row Python function calls.
+    The rule is intentionally exact (no entity decoding, no normalization) so
+    the output is byte-identical across runs/partitionings.
+    """
+    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    title = s.str.extract(_TITLE_RE, expand=False).fillna("")
+    paras = s.str.findall(_PARA_RE).apply(lambda xs: "\n".join(xs))
+    out = title.str.cat(paras, sep="\n")
+    # no title and no paras -> empty text, never null
+    return out.str.strip("\n").fillna("")
+
+
+_EXTRACT_UDF = None
+
+
+def extract_text(html_col: Column) -> Column:
+    """Lazily-built pandas UDF (UDF construction needs an active session)."""
+    global _EXTRACT_UDF
+    if _EXTRACT_UDF is None:
+        _EXTRACT_UDF = F.pandas_udf(_extract_text_pd, "string")
+    return _EXTRACT_UDF(html_col)
+
+
+# ---------------------------------------------------------------------------
+# Shared token expression: split on single spaces, drop empties.  This exact
+# definition is mirrored in the DuckDB oracles
+# (list_filter(string_split(text,' '), x -> x <> '')).
+# ---------------------------------------------------------------------------
+
+def tokens_expr(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# M8: quality score (reference: Laplacian-variance detail score capped at 100,
+# /root/reference/modules/deduplication.py:1575-1609).  Webtext analog:
+# length + alphanumeric density + lexical diversity, capped per component so
+# the total is in [0, 100].  Pure column expressions — codegen'd, no UDF.
+# ---------------------------------------------------------------------------
+
+def quality_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    alnum = F.length(F.regexp_replace(text, "[^a-z0-9]", ""))
+    length_score = F.least(F.lit(50.0), n_chars.cast("double") / F.lit(10.0))
+    alnum_ratio = F.when(n_chars > 0, alnum.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+    ).otherwise(F.lit(0.0))
+    return length_score + alnum_ratio * F.lit(25.0) + uniq_ratio * F.lit(25.0)
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-stopword counting with a deterministic argmax
+# (tie-break by fixed language order, zero markers -> 'und').  Column-only.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def lang_scores_expr(text: Column) -> dict[str, Column]:
+    toks = tokens_expr(text)
+    out = {}
+    for lang in LANG_ORDER:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return out
+
+
+def langid_expr(text: Column) -> Column:
+    scores = lang_scores_expr(text)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (en > de > fr > es)
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex segmentation
+# (letter runs / digit runs / single other chars).
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def n_tokens_ws_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def n_tokens_bpe_expr(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints: full sha256 (exact-dup key) + 60-bit md5-prefix
+# compact fingerprint (joinable BIGINT).  Reference analog: the path-string
+# identity + wavelet hash bytes (feature_cache keys).
+# ---------------------------------------------------------------------------
+
+def sha256_expr(text: Column) -> Column:
+    return F.sha2(text.cast("binary"), 256)
+
+
+def fp64_expr(text: Column) -> Column:
+    return F.conv(F.substring(F.md5(text.cast("binary")), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,48 @@
+"""Per-cluster best-representative selection + group statistics.
+
+Reference analog: stage 5 quality argmax
+(``/root/reference/modules/deduplication.py:1353-1458``, ``_select_best_image``
+``574-591``) and the group-stats logging (``1172-1202``).  Spark-first: one
+window function — a single shuffle by cluster_id — replaces the reference's
+106-line dict-juggling loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pick_best(
+    assignments: DataFrame,
+    quality_df: DataFrame,
+    id_col: str,
+    quality_col: str = "quality",
+) -> DataFrame:
+    """(id, cluster_id) + (id, quality) -> adds quality, cluster_size, is_best.
+
+    Exactly one ``is_best`` per cluster; ties broken by ascending id —
+    deterministic (FIXTURES.md §4 best-pick determinism; reference tie-break
+    was dict-iteration order, a nondeterminism we fix).
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    sized = Window.partitionBy("cluster_id")
+    return (
+        assignments.join(quality_df.select(id_col, quality_col), id_col)
+        .withColumn("cluster_size", F.count(F.lit(1)).over(sized))
+        .withColumn("is_best", F.row_number().over(w) == 1)
+    )
+
+
+def group_stats(assignments: DataFrame) -> DataFrame:
+    """Cluster-size distribution summary (G6): one row of counts/min/max/avg."""
+    sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").cast("long").alias("n_docs"),
+        F.sum((F.col("size") > 1).cast("long")).alias("n_dup_clusters"),
+        F.sum(F.when(F.col("size") > 1, F.col("size") - 1).otherwise(0)).cast("long").alias("n_redundant_docs"),
+        F.max("size").alias("max_cluster_size"),
+    )

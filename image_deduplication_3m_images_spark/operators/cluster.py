@@ -1,0 +1,102 @@
+"""Connected components over verified duplicate pairs — distributed union-find.
+
+Reference analog: in-memory path-compressed union-find + four BFS variants
+(``/root/reference/modules/deduplication.py:284-346,454-481,1258-1283``;
+``memory_efficient_deduplication.py:531-582`` — the reference has ~5 copies;
+we have exactly one implementation reused by every caller, SURVEY.md §2.4 G1/G2).
+
+Algorithm: iterative minimum-label propagation on DataFrames.  Each node's
+label is the min id seen in its neighborhood; iterate until fixpoint.
+Converges in O(graph diameter) rounds — LSH duplicate components are
+overwhelmingly tiny/star-shaped (the reference observed mostly singletons,
+``OPTIMIZATION_SUMMARY.md:93-97``), so 3-5 rounds in practice; a pointer-
+jumping step (label -> label-of-label) halves long chains so worst-case
+rounds are O(log d).  Every iteration breaks lineage with localCheckpoint —
+without it the plan doubles per round and the job dies at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """edges (id_a, id_b) -> assignments (id, cluster_id).
+
+    cluster_id = min node id in the component — deterministic under any
+    partitioning (FIXTURES.md hard part #2: never partition-dependent values).
+    Only nodes that appear in an edge are returned; callers re-attach
+    singletons with a left join (reference analog: singleton re-merge,
+    ``memory_efficient_deduplication.py:79-99``).
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # neighbor-min per node, including self -> initial labels
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # propagate: each node takes min(own label, neighbors' labels)
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.col("neigh_min")).alias("new_cluster"),
+                F.col("cluster_id"),
+            )
+        )
+        changed = updated.where(F.col("new_cluster") < F.col("cluster_id")).limit(1)
+        new_labels = updated.select(
+            "id", F.col("new_cluster").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+        # pointer jumping: label <- label's label (halves chain depth)
+        jump = new_labels.alias("l").join(
+            new_labels.select(
+                F.col("id").alias("cluster_id"),
+                F.col("cluster_id").alias("jumped"),
+            ),
+            "cluster_id",
+            "left",
+        ).select(
+            "id", F.coalesce("jumped", "cluster_id").alias("cluster_id")
+        )
+        labels = jump.localCheckpoint(eager=True)
+        if changed.count() == 0:
+            break
+
+    return labels
+
+
+def attach_singletons(
+    assignments: DataFrame, all_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Every input id appears exactly once in the output (row-preservation
+    invariant, FIXTURES.md §4); ids without edges become their own cluster.
+    """
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(assignments, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+        )
+    )

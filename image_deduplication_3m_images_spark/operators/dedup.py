@@ -1,0 +1,114 @@
+"""Stand-alone dedup operators beyond the LSH pipeline: exact hash dedup,
+SimHash-block dedup, n-gram Jaccard pairs.  These are the training-data-
+pipeline primitives a 100 TB corpus job composes (exact pass first — it is
+nearly free — then MinHash-LSH for near-dups).
+
+Reference analog: stage 1 alone was sometimes used as an exact-ish dedup
+(identical wavelet hash == identical band keys); here exact dedup is a
+groupBy on sha256(text) — one shuffle, fully codegen'd, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.functions.text import sha256_expr
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, text) -> (id, text_sha256, cluster_id, cluster_size, is_best).
+
+    cluster_id = min id sharing the hash; is_best = that min id (deterministic).
+    Single hash-shuffle on the 64-hex sha; at 100 TB this is the cheapest pass
+    and removes the bulk of duplicates before any MinHash work.
+    """
+    hashed = df.select(
+        F.col(id_col), sha256_expr(F.col(text_col)).alias("text_sha256")
+    )
+    w = Window.partitionBy("text_sha256")
+    return hashed.select(
+        id_col,
+        "text_sha256",
+        F.min(id_col).over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_best"),
+    )
+
+
+def simhash_block_pairs(
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs by SimHash chunk blocking (pigeonhole: hamming <= h
+    implies at least one of h+1 equal chunks), then exact Hamming filter.
+
+    Splits the 64-bit simhash into 4 x 16-bit chunks (handles hamming <= 3
+    exactly); returns (id_a, id_b, hamming) with hamming <= 3, distinct.
+    """
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    blocks = sig_df.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    a = blocks.select(
+        "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = blocks.select(
+        "chunk_id", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact token n-gram Jaccard for given candidate pairs (never all-pairs).
+
+    Returns integer intersection/union sizes (float-drift-free for the oracle)
+    plus the ratio.  Set semantics: distinct n-grams per doc.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_toks - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    gdf = df.select(F.col(id_col), grams.alias("grams"))
+    a = gdf.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    b = gdf.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_intersect"),
+        union.alias("n_union"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )

@@ -1,0 +1,118 @@
+"""LSH banding + candidate-pair generation — the heart of the pipeline.
+
+Reference analog: in-memory band-key dict + within-bucket pair loops with a
+silent >1000-bucket skip and 50k pair cap
+(``/root/reference/modules/deduplication.py:270-346``).  Spark-first design:
+the shuffle on ``(band_id, band_key)`` *is* the LSH index; skewed ("hot")
+buckets emit star edges to the bucket representative instead of O(n^2) pairs,
+which preserves connectivity exactly (never silently drops a component link,
+unlike the reference's cap) while bounding pair count linearly in bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+
+
+def band_key_expr(minhash_col, band_id: int, rows_per_band: int):
+    """60-bit integer key for one band: md5 of '_'-joined signature values.
+
+    Mirrored exactly in the DuckDB oracle:
+    ``('0x' || substr(md5(array_to_string(slice, '_')), 1, 15))::BIGINT``.
+    60 bits (15 hex chars) keeps the value inside a signed 64-bit BIGINT.
+    """
+    lo = band_id * rows_per_band + 1  # slice() is 1-based
+    sl = F.slice(minhash_col, lo, rows_per_band)
+    joined = F.concat_ws("_", F.transform(sl, lambda x: x.cast("string")))
+    return F.conv(F.substring(F.md5(joined.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """(id, minhash) -> (id, band_id, band_key): bands x 1 rows per doc.
+
+    Built as a literal array of per-band keys + ``posexplode`` so the md5/conv
+    work stays in whole-stage codegen (no UDF, no shuffle yet).
+    """
+    keys = F.array(
+        *[band_key_expr(F.col("minhash"), b, cfg.rows_per_band) for b in range(cfg.bands)]
+    )
+    return sig_df.select(
+        F.col(id_col), F.posexplode(keys).alias("band_id", "band_key")
+    )
+
+
+def candidate_pairs(
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    count_bands: bool = True,
+) -> DataFrame:
+    """Self-join on the band key -> distinct candidate pairs (a < b).
+
+    Skew handling (the north rule's explicit requirement):
+      * bucket size is computed with ONE window over the same shuffle key as
+        the join, so no extra shuffle;
+      * buckets <= ``bucket_star_cap``: full within-bucket pairs (a < b);
+      * hot buckets  > cap: star edges (bucket_min, member) only — O(n) edges
+        that keep every member connected for clustering.  AQE skew-join
+        splitting still applies to the join itself.
+
+    Returns (id_a, id_b, n_bands) with id_a < id_b, distinct.
+    """
+    w = Window.partitionBy("band_id", "band_key")
+    bands = explode_bands(sig_df, cfg, id_col).withColumn(
+        "bucket_size", F.count(F.lit(1)).over(w)
+    ).withColumn("bucket_min", F.min(id_col).over(w))
+
+    small = bands.where(F.col("bucket_size") <= cfg.bucket_star_cap)
+    left = small.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    right = small.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    small_pairs = left.join(right, ["band_id", "band_key"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+
+    hot_pairs = (
+        bands.where(
+            (F.col("bucket_size") > cfg.bucket_star_cap)
+            & (F.col(id_col) != F.col("bucket_min"))
+        )
+        .select(
+            F.col("band_id"),
+            F.col("band_key"),
+            F.col("bucket_min").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+        )
+    )
+
+    pairs = small_pairs.unionByName(hot_pairs)
+    if count_bands:
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.count_distinct("band_id").alias("n_bands")
+        )
+    return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
+
+def hot_bucket_stats(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """Band-bucket size profile for lineage/metrics (never silent truncation —
+    reference analog: the uninstrumented bucket skip at deduplication.py:314-317).
+    """
+    return (
+        explode_bands(sig_df, cfg, id_col)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum((F.col("bucket_size") > cfg.bucket_star_cap).cast("long")).alias(
+                "n_hot_buckets"
+            ),
+        )
+    )

