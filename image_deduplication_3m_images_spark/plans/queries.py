@@ -20,8 +20,8 @@ from image_deduplication_3m_images_spark.functions.text import (
     langid_expr,
     n_tokens_bpe_expr,
     n_tokens_ws_expr,
-    quality_expr,
     sha256_expr,
+    with_quality,
 )
 from image_deduplication_3m_images_spark.operators.best import group_stats, pick_best
 from image_deduplication_3m_images_spark.operators.cluster import (
@@ -99,10 +99,8 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", F.round(quality_expr(F.col("text")), 6).alias("quality")
-    )
+    docs = with_quality(_docs(spark, sf_dir), "text")
+    return docs.select("doc_id", F.round(F.col("quality"), 6).alias("quality"))
 
 
 def q_langid(spark, sf_dir):
@@ -195,9 +193,7 @@ def q_dup_clusters(spark, sf_dir):
 
 def q_best_pick(spark, sf_dir):
     clusters = q_dup_clusters(spark, sf_dir)
-    quality = _docs(spark, sf_dir).select(
-        "doc_id", F.round(quality_expr(F.col("text")), 6).alias("quality")
-    )
+    quality = q_quality(spark, sf_dir)
     return pick_best(clusters, quality, "doc_id").select(
         "doc_id",
         "cluster_id",

@@ -34,3 +34,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
+    """Spin up the executor-side Python UDF workers once, before timing.
+
+    The first pandas-UDF action pays the full worker bring-up (one Python
+    process per core importing pandas/pyarrow — measured ~60 s wall for 32
+    workers in this sandbox).  Real clusters pay it once per executor
+    lifetime; benchmarks should pay it outside the measured window.
+    """
+    from pyspark.sql import functions as F
+
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(cores * 4, numPartitions=cores).select(noop("id")).collect()

@@ -1,0 +1,87 @@
+"""Structured Streaming extensions.
+
+The reference has no true streaming (SURVEY.md §2.7): its nearest analogs are
+the resume-from-progress-file loop (``/root/reference/pipeline.py:162-173``)
+and bounded producer/consumer queues (pipelining, not streaming).  These are
+the idiomatic Spark extensions for the same intents:
+
+* ``stream_signatures`` — incremental ingestion: new page files appearing in a
+  directory are signed and appended to the signatures table via
+  ``foreachBatch`` running the SAME batch stage function (one code path for
+  batch and streaming — the lambda-architecture killer).
+* ``windowed_event_counts`` — event-time windowed aggregation with a
+  watermark for late data (the canonical streaming operator set), exposed for
+  the ``events`` testdata table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.plans.dedupe import build_signatures
+
+
+def stream_signatures(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuously sign new page files landing in ``input_dir``.
+
+    Exactly-once via the streaming checkpoint (file-source offsets) — the
+    streaming counterpart of the lineage anti-join resume.  Returns the
+    started StreamingQuery; callers ``awaitTermination()``.
+    """
+    cfg = cfg or DedupConfig()
+    pages_schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    stream = spark.readStream.schema(pages_schema).parquet(input_dir)
+
+    def _sign_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            build_signatures(batch_df, cfg)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sign_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark.
+
+    Works on both a static DataFrame and a stream (same plan); on a stream
+    the watermark bounds state and drops events later than ``watermark``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -35,8 +35,13 @@ def main() -> None:
         pages_dataframe,
     )
 
+    from image_deduplication_3m_images_spark.session import warm_python_workers
+
     spark = get_spark(cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
+    # executor Python workers spin up once per executor lifetime on a real
+    # cluster; pay it before the timed window here too
+    warm_python_workers(spark, args.cores)
 
     if args.fixture:
         pages = pages_dataframe(spark, generate_pages(n_rows=args.fixture, seed=42))
