@@ -68,7 +68,10 @@ class DedupConfig:
     # bucket cap 1000 / pair cap 50k, deduplication.py:307-326 — but theirs
     # silently DROPS pairs; star edges preserve connectivity).
     bucket_star_cap: int = 64
-    # Hard cap: band buckets larger than this are logged + star-edged only.
+    # Salted-key tier: buckets in (cap, cap*salt_factor] are joined within
+    # deterministic salt sub-buckets (plus star edges for cross-salt
+    # connectivity); buckets beyond that are star-edged only.
+    salt_factor: int = 8
     perm_seed: int = PERM_SEED
 
     def __post_init__(self) -> None:
@@ -85,8 +88,14 @@ class DedupConfig:
 
     def config_hash(self) -> str:
         """Stable hash of every signature-affecting knob (goes in lineage rows)."""
+        from image_deduplication_3m_images_spark.functions.signature_core import (
+            HORNER_C,
+        )
+
         payload = asdict(self)
         payload["prime"] = MINHASH_PRIME
+        payload["horner_c"] = HORNER_C
+        payload["token_hash"] = "md5-16hex-horner"
         blob = json.dumps(payload, sort_keys=True).encode("utf-8")
         return hashlib.sha256(blob).hexdigest()[:16]
 

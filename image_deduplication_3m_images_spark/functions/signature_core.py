@@ -8,8 +8,10 @@ Webtext analog of the reference's per-item feature extractors:
 * SimHash              <- global EfficientNet embedding
   (``/root/reference/modules/feature_extraction.py:206-237``)
 
-All hashes derive from md5 of the shingle string so the exact same integers
-are reproducible in SQL (``conv(substr(md5(s),1,8),16,10)``).
+All hashes derive from md5 of the *token* (cacheable across a batch — webtext
+vocabulary is Zipfian, so most token hashes are cache hits) combined by a
+Horner rolling hash per shingle window, so the exact same integers are
+reproducible in SQL (md5 + ``list_reduce`` Horner in DuckDB).
 """
 
 from __future__ import annotations
@@ -42,14 +44,48 @@ def shingles(text: str, k: int) -> list[str]:
     return [" ".join(toks)]
 
 
-def shingle_hashes(text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Return (h32, h64) uint64 arrays: first 8 / first 16 hex chars of
-    md5(shingle) parsed as integers.  h32 feeds MinHash, h64 feeds SimHash.
+# Horner multiplier for rolling shingle hashes over token hashes.  Must be
+# < 2**31 so the DuckDB oracle's HUGEINT intermediate (acc*C + x < 2**95)
+# never overflows; 1000003 is the classic CPython string-hash prime.
+HORNER_C = 1000003
+
+
+def token_hash(token: str) -> int:
+    """64-bit token hash: first 16 hex chars of md5(token) — the primitive
+    shared with the DuckDB oracle (``('0x'||substr(md5(t),1,16))::UBIGINT``)."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def shingle_hashes_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
+    """uint64 shingle hashes: Horner fold ``h = h*C + t`` (mod 2**64, numpy
+    natural wraparound) over each window of k token hashes.
+
+    Degenerate inputs: fewer than k tokens -> ONE shingle folding all tokens;
+    zero tokens -> [0].  Vectorized: k fused array ops over all windows.
     """
-    digs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in shingles(text, k)]
-    h32 = np.array([int(d[:8], 16) for d in digs], dtype=np.uint64)
-    h64 = np.array([int(d[:16], 16) for d in digs], dtype=np.uint64)
-    return h32, h64
+    th = th.astype(np.uint64)
+    n = th.size
+    c = np.uint64(HORNER_C)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if n < k:
+        h = int(th[0])  # python ints: intended mod-2**64 wrap without warnings
+        for j in range(1, n):
+            h = (h * HORNER_C + int(th[j])) & 0xFFFFFFFFFFFFFFFF
+        return np.array([h], dtype=np.uint64)
+    h = th[0 : n - k + 1].copy()
+    for j in range(1, k):
+        h = h * c + th[j : n - k + 1 + j]
+    return h
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 shingle-hash array for a text: md5 token hashes -> Horner
+    windows.  MinHash uses the top 32 bits (h >> 32), SimHash all 64.
+    """
+    toks = tokenize(text)
+    th = np.array([token_hash(t) for t in toks], dtype=np.uint64)
+    return shingle_hashes_from_tokens(th, k)
 
 
 def minhash_from_h32(h32: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -87,7 +123,8 @@ def signature_py(text: str, cfg: DedupConfig) -> dict:
     """
     a = np.array(cfg.perm_a, dtype=np.uint64)
     b = np.array(cfg.perm_b, dtype=np.uint64)
-    h32, h64 = shingle_hashes(text, cfg.shingle_k)
+    h64 = shingle_hashes(text, cfg.shingle_k)
+    h32 = h64 >> np.uint64(32)
     toks = tokenize(text)
     n_sh = max(len(toks) - cfg.shingle_k + 1, 1) if toks else 1
     return {

@@ -32,14 +32,26 @@ def band_key_expr(minhash_col, band_id: int, rows_per_band: int):
 
 
 def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
-    """(id, minhash) -> (id, band_id, band_key): bands x 1 rows per doc.
+    """(id, minhash | band_keys_bin) -> (id, band_id, band_key).
 
-    Built as a literal array of per-band keys + ``posexplode`` so the md5/conv
-    work stays in whole-stage codegen (no UDF, no shuffle yet).
+    Two input shapes: the packed pipeline table carries precomputed
+    ``band_keys_bin`` (UDF-side md5, identical formula) which is unpacked with
+    hex/conv; otherwise keys are derived from the ``minhash`` array with
+    md5/conv column exprs.  Either way: whole-stage codegen, no shuffle yet.
     """
-    keys = F.array(
-        *[band_key_expr(F.col("minhash"), b, cfg.rows_per_band) for b in range(cfg.bands)]
-    )
+    if "band_keys_bin" in sig_df.columns:
+        from image_deduplication_3m_images_spark.functions.signatures import (
+            unpack_band_keys_expr,
+        )
+
+        keys = unpack_band_keys_expr(F.col("band_keys_bin"), cfg.bands)
+    else:
+        keys = F.array(
+            *[
+                band_key_expr(F.col("minhash"), b, cfg.rows_per_band)
+                for b in range(cfg.bands)
+            ]
+        )
     return sig_df.select(
         F.col(id_col), F.posexplode(keys).alias("band_id", "band_key")
     )
@@ -50,26 +62,51 @@ def candidate_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     count_bands: bool = True,
+    max_bucket_hint: int | None = None,
 ) -> DataFrame:
     """Self-join on the band key -> distinct candidate pairs (a < b).
 
-    Skew handling (the north rule's explicit requirement):
-      * bucket size is computed with ONE window over the same shuffle key as
-        the join, so no extra shuffle;
-      * buckets <= ``bucket_star_cap``: full within-bucket pairs (a < b);
-      * hot buckets  > cap: star edges (bucket_min, member) only — O(n) edges
-        that keep every member connected for clustering.  AQE skew-join
-        splitting still applies to the join itself.
+    ``max_bucket_hint``: caller-supplied bucket-profile statistic (the
+    pipeline computes it for lineage anyway).  When it proves no bucket
+    exceeds the star cap, the skew tiers (window + 3 branches) are skipped
+    for a single clean self-join — statistics-driven plan selection.
+
+    Skew handling (the north rule's explicit requirement), three tiers by
+    bucket size (computed with ONE window over the same shuffle key as the
+    join — no extra shuffle):
+      * size <= cap:                 full within-bucket pairs (a < b);
+      * cap < size <= cap*salt:      SALTED-KEY sub-bucket join — each member
+        gets a deterministic salt in [0, salt_factor); full pairs only within
+        (band, key, salt), PLUS star edges to the bucket min so cross-salt
+        connectivity is exact;
+      * size > cap*salt (mega-hot):  star edges only — O(n) edges that keep
+        every member connected for clustering.  (The reference silently
+        DROPPED pairs past its caps, deduplication.py:314-326; no tier here
+        loses a component link.)  AQE skew-join splitting applies on top.
 
     Returns (id_a, id_b, n_bands) with id_a < id_b, distinct.
     """
+    if max_bucket_hint is not None and max_bucket_hint <= cfg.bucket_star_cap:
+        flat = explode_bands(sig_df, cfg, id_col)
+        fl = flat.select("band_id", "band_key", F.col(id_col).alias("id_a"))
+        fr = flat.select("band_id", "band_key", F.col(id_col).alias("id_b"))
+        pairs = fl.join(fr, ["band_id", "band_key"]).where(
+            F.col("id_a") < F.col("id_b")
+        )
+        if count_bands:
+            return pairs.groupBy("id_a", "id_b").agg(
+                F.count_distinct("band_id").alias("n_bands")
+            )
+        return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
     w = Window.partitionBy("band_id", "band_key")
+    salt_max = cfg.bucket_star_cap * cfg.salt_factor
     bands = (
         explode_bands(sig_df, cfg, id_col)
         .withColumn("bucket_size", F.count(F.lit(1)).over(w))
         .withColumn("bucket_min", F.min(id_col).over(w))
-        # consumed by three branches (join left/right + hot stars): persist so
-        # the explode+window computes once; spills to disk if it outgrows memory
+        # consumed by several branches: persist so the explode+window computes
+        # once; spills to disk if it outgrows memory
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -84,6 +121,23 @@ def candidate_pairs(
         F.col("id_a") < F.col("id_b")
     )
 
+    medium = bands.where(
+        (F.col("bucket_size") > cfg.bucket_star_cap)
+        & (F.col("bucket_size") <= salt_max)
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(cfg.salt_factor)),
+    )
+    m_left = medium.select(
+        "band_id", "band_key", "salt", F.col(id_col).alias("id_a")
+    )
+    m_right = medium.select(
+        "band_id", "band_key", "salt", F.col(id_col).alias("id_b")
+    )
+    medium_pairs = m_left.join(m_right, ["band_id", "band_key", "salt"]).where(
+        F.col("id_a") < F.col("id_b")
+    ).select("band_id", "band_key", "id_a", "id_b")
+
     hot_pairs = (
         bands.where(
             (F.col("bucket_size") > cfg.bucket_star_cap)
@@ -97,7 +151,9 @@ def candidate_pairs(
         )
     )
 
-    pairs = small_pairs.unionByName(hot_pairs)
+    pairs = small_pairs.select("band_id", "band_key", "id_a", "id_b").unionByName(
+        medium_pairs
+    ).unionByName(hot_pairs)
     if count_bands:
         return pairs.groupBy("id_a", "id_b").agg(
             F.count_distinct("band_id").alias("n_bands")

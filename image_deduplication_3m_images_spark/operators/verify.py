@@ -60,6 +60,34 @@ def hamming_expr(sh_a, sh_b):
     return F.bit_count(sh_a.bitwiseXOR(sh_b))
 
 
+_MATCHES_PACKED = None
+
+
+def sig_matches_packed(bin_a, bin_b):
+    """Equal-position count over big-endian-packed MinHash binaries.
+
+    Arrow-batched pandas UDF — runs only on candidate PAIRS (a tiny fraction
+    of the corpus), where the per-element list-conversion cost that packing
+    avoids would not matter; np.frombuffer makes it allocation-free.
+    """
+    global _MATCHES_PACKED
+    if _MATCHES_PACKED is None:
+
+        @F.pandas_udf("int")
+        def matches_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out = np.empty(len(a), dtype=np.int32)
+            for i, (x, y) in enumerate(zip(a, b)):
+                xa = np.frombuffer(x, dtype=">i8")
+                ya = np.frombuffer(y, dtype=">i8")
+                out[i] = int((xa == ya).sum())
+            return pd.Series(out)
+
+        _MATCHES_PACKED = matches_udf
+    return _MATCHES_PACKED(bin_a, bin_b)
+
+
 def verify_pairs(
     pairs: DataFrame,
     sig_df: DataFrame,
@@ -76,14 +104,49 @@ def verify_pairs(
     (FIXTURES.md containment pairs), mirroring how the reference's local-
     feature stage rescued crops/edits that global cosine rejected.
     """
-    joined = join_signatures(pairs, sig_df, id_col)
-    matches = sig_matches_expr(F.col("minhash_a"), F.col("minhash_b"))
-    out = joined.select(
-        "id_a",
-        "id_b",
+    with_text = texts_df is not None
+    packed = "minhash_bin" in sig_df.columns
+    mh_col = "minhash_bin" if packed else "minhash"
+    if with_text and text_col in sig_df.columns:
+        # one join per side carrying signatures AND text together — half the
+        # shuffles of separate signature/text joins
+        joined = join_signatures(
+            pairs, sig_df, id_col, cols=(mh_col, "simhash", text_col)
+        )
+    else:
+        joined = join_signatures(pairs, sig_df, id_col, cols=(mh_col, "simhash"))
+    if packed:
+        matches = sig_matches_packed(F.col("minhash_bin_a"), F.col("minhash_bin_b"))
+    else:
+        matches = sig_matches_expr(F.col("minhash_a"), F.col("minhash_b"))
+    evidence = [
         matches.alias("sig_matches"),
         hamming_expr(F.col("simhash_a"), F.col("simhash_b")).alias("hamming"),
-    )
+    ]
+    if with_text and text_col in sig_df.columns:
+        contain = F.contains(
+            F.col(f"{text_col}_b"), F.col(f"{text_col}_a")
+        ) | F.contains(F.col(f"{text_col}_a"), F.col(f"{text_col}_b"))
+        if use_arrow_containment:
+            out = joined.select(
+                "id_a",
+                "id_b",
+                *evidence,
+                F.col(f"{text_col}_a").alias("_text_a"),
+                F.col(f"{text_col}_b").alias("_text_b"),
+            )
+            out = _arrow_containment(out)
+        else:
+            out = joined.select(
+                "id_a", "id_b", *evidence, contain.alias("containment")
+            )
+        min_matches = math.ceil(cfg.jaccard_threshold * cfg.num_perm)
+        sim_ok = (F.col("sig_matches") >= F.lit(min_matches)) | (
+            F.col("hamming") <= F.lit(cfg.hamming_max)
+        )
+        return out.withColumn("verified", sim_ok | F.col("containment"))
+
+    out = joined.select("id_a", "id_b", *evidence)
     # OR-of-evidence verdict: MinHash Jaccard is the primary test; a tight
     # SimHash Hamming radius rescues near-identical docs whose MinHash was
     # unlucky; containment rescues boilerplate-wrapped/contained true dups.
@@ -101,6 +164,26 @@ def verify_pairs(
 
     out = with_containment(out, texts_df, id_col, text_col, use_arrow_containment)
     return out.withColumn("verified", sim_ok | F.col("containment"))
+
+
+def _arrow_containment(df: DataFrame) -> DataFrame:
+    """Arrow-batched containment kernel over a frame with _text_a/_text_b.
+
+    The "suffix-array slot": CPython's two-way/Boyer-Moore `in` is the
+    per-batch substring kernel; swap in a suffix-automaton here for
+    pathological long-doc workloads.
+    """
+    schema = df.drop("_text_a", "_text_b").schema.add("containment", "boolean")
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = pdf["_text_a"]
+            b = pdf["_text_b"]
+            pdf = pdf.drop(columns=["_text_a", "_text_b"])
+            pdf["containment"] = [(x in y) or (y in x) for x, y in zip(a, b)]
+            yield pdf
+
+    return df.mapInPandas(_kernel, schema)
 
 
 def with_containment(
@@ -123,16 +206,4 @@ def with_containment(
         )
         return joined.withColumn("containment", contain).drop("_text_a", "_text_b")
 
-    schema = joined.drop("_text_a", "_text_b").schema.add("containment", "boolean")
-
-    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            a = pdf["_text_a"]
-            b = pdf["_text_b"]
-            pdf = pdf.drop(columns=["_text_a", "_text_b"])
-            pdf["containment"] = [
-                (x in y) or (y in x) for x, y in zip(a, b)
-            ]
-            yield pdf
-
-    return joined.mapInPandas(_kernel, schema)
+    return _arrow_containment(joined)

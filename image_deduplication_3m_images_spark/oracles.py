@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 from image_deduplication_3m_images_spark.config import MINHASH_PRIME, DedupConfig
+from image_deduplication_3m_images_spark.functions.signature_core import HORNER_C
 
 CFG = DedupConfig()
 
@@ -27,24 +28,33 @@ def _perm_values(cfg: DedupConfig) -> str:
 def signature_ctes(cfg: DedupConfig = CFG, docs: str = "documents") -> str:
     """Shared WITH-body (no leading WITH): toks/sh/hashed/perms/mh/nsh/sim."""
     k = cfg.shingle_k
+    horner = (
+        "(acc, x) -> CAST((acc::HUGEINT * "
+        f"{HORNER_C} + x::HUGEINT) % 18446744073709551616 AS UBIGINT)"
+    )
     return f"""
 toks AS (
   SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM {docs}
 ),
-sh AS (
+tokhash AS (
   SELECT doc_id,
-    CASE WHEN len(toks) >= {k}
-         THEN list_transform(range(1, len(toks) - {k - 2}), i -> array_to_string(toks[i:i+{k - 1}], ' '))
-         ELSE [array_to_string(toks, ' ')] END AS shingles
+         list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS th,
+         len(toks) AS n
   FROM toks
 ),
-exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-hashed AS (
+sh AS (
   SELECT doc_id,
-         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h32,
-         ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h64
-  FROM exploded
+    CASE WHEN n = 0 THEN [0::UBIGINT]
+         WHEN n < {k} THEN [list_reduce(th, {horner})]
+         ELSE list_transform(range(1, n - {k - 2}),
+                             i -> list_reduce(th[i:i+{k - 1}], {horner}))
+         END AS shingles
+  FROM tokhash
+),
+hashed AS (
+  SELECT doc_id, (h64 >> 32)::BIGINT AS h32, h64
+  FROM (SELECT doc_id, unnest(shingles) AS h64 FROM sh)
 ),
 perms AS (SELECT * FROM (VALUES {_perm_values(cfg)}) AS t(j, a, b)),
 mh AS (

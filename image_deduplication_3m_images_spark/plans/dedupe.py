@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.config import DedupConfig
 from image_deduplication_3m_images_spark.functions.signatures import (
-    make_extract_signature_udf,
+    make_extract_signature_packed_udf,
 )
 from image_deduplication_3m_images_spark.functions.text import sha256_expr, with_quality
 from image_deduplication_3m_images_spark.operators.best import group_stats, pick_best
@@ -45,17 +45,24 @@ def build_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     signatures are fused into a single pandas UDF so the html is decoded once
     and the text is materialized once (see make_extract_signature_udf).
     """
-    udf = make_extract_signature_udf(cfg)
+    udf = make_extract_signature_packed_udf(cfg)
     sig = pages.select(ID, udf(F.col("html")).alias("sig")).select(
         ID,
         F.col("sig.text").alias("text"),
         F.col("sig.n_shingles").alias("n_shingles"),
-        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.minhash_bin").alias("minhash_bin"),
+        F.col("sig.band_keys_bin").alias("band_keys_bin"),
         F.col("sig.simhash").alias("simhash"),
     )
     sig = with_quality(sig, "text")
-    return sig.withColumn("text_sha256", sha256_expr(F.col("text"))).select(
-        ID, "text", "text_sha256", "n_shingles", "minhash", "simhash", "quality"
+    sig = sig.withColumn("text_sha256", sha256_expr(F.col("text")))
+    # Deliberately NO shuffle here: this stage is a pure map over the input
+    # (scan -> fused UDF -> exprs -> write).  Windowing is_rep over the wide
+    # table (text + binaries) cost a 4x stage slowdown at 1M rows; the
+    # representative choice is made downstream on a NARROW projection.
+    return sig.select(
+        ID, "text", "text_sha256", "n_shingles", "minhash_bin",
+        "band_keys_bin", "simhash", "quality",
     )
 
 
@@ -65,9 +72,16 @@ def run_dedupe(
     warehouse: str,
     cfg: DedupConfig | None = None,
     resume: bool = True,
+    validate_extraction: bool = False,
 ) -> DataFrame:
     """Run (or resume) the full pipeline; returns the final clusters table:
     (url, cluster_id, quality, cluster_size, is_best).
+
+    ``validate_extraction``: when the input carries an oracle ``text`` column,
+    count rows whose extracted text differs byte-wise and record the count in
+    the signatures lineage row (reference analog: the '0 missing images'
+    audit, ``/root/reference/main.py:96-101``).  Off by default — it costs an
+    extra join over the corpus.
     """
     cfg = cfg or DedupConfig()
     cat = ParquetCatalog(spark, warehouse)
@@ -92,22 +106,73 @@ def run_dedupe(
 
     signatures = stage("signatures", lambda: build_signatures(pages, cfg))
 
+    if validate_extraction and "text" in pages.columns:
+        mismatched = (
+            signatures.select(ID, "text_sha256")
+            .join(
+                pages.select(
+                    ID, F.sha2(F.col("text").cast("binary"), 256).alias("oracle_sha")
+                ),
+                ID,
+            )
+            .where(F.col("text_sha256") != F.col("oracle_sha"))
+            .count()
+        )
+        cat.log_event(
+            "extraction_audit", chash, extra={"mismatched_rows": int(mismatched)}
+        )
+        if mismatched:
+            raise ValueError(
+                f"extraction invariant violated for {mismatched} rows "
+                "(extracted text != oracle text)"
+            )
+
+    # EXACT-FIRST: LSH runs on one representative per distinct text.
+    # Identical docs share identical signatures, so banding them all adds
+    # zero information and quadratic pairs — on a duplicate-heavy web corpus
+    # this collapses the heaviest buckets before the shuffle.  The rep frame
+    # is NARROW (sha, min url, band keys — no text/minhash), so the groupBy
+    # shuffles ~1% of the table's bytes; identical texts have identical band
+    # keys, so first() is deterministic here.  Exact-duplicate star edges
+    # (cluster stage) restore full connectivity.
+    rep_bands = (
+        signatures.select(ID, "text_sha256", "band_keys_bin")
+        .groupBy("text_sha256")
+        .agg(
+            F.min(ID).alias(ID),
+            F.first("band_keys_bin").alias("band_keys_bin"),
+        )
+        .select(ID, "band_keys_bin")
+    )
+
     if resume and cat.stage_complete("candidate_pairs", chash):
         cands = cat.read("candidate_pairs")
     else:
         # band-bucket profile goes into lineage so hot-key starring is never
-        # silent (reference's bucket skip was, deduplication.py:314-317)
-        bucket_profile = hot_bucket_stats(signatures, cfg, id_col=ID).collect()[0].asDict()
+        # silent (reference's bucket skip was, deduplication.py:314-317) —
+        # and drives plan selection: with no hot buckets the skew tiers are
+        # skipped entirely (stats-driven physical plan choice)
+        bucket_profile = hot_bucket_stats(rep_bands, cfg, id_col=ID).collect()[0].asDict()
         cands = stage(
             "candidate_pairs",
-            lambda: candidate_pairs(signatures, cfg, id_col=ID),
+            lambda: candidate_pairs(
+                rep_bands, cfg, id_col=ID,
+                max_bucket_hint=bucket_profile["max_bucket"],
+            ),
             extra=bucket_profile,
         )
 
+    # Verification: the pairs table is usually tiny relative to the corpus —
+    # broadcast it so the signatures side is filtered MAP-SIDE (no wide
+    # shuffle of text/minhash columns).  Guarded by an actual count (cheap:
+    # cands is a checkpointed table): a pathological pair explosion falls
+    # back to a shuffle join rather than OOMing the broadcast.
+    n_pairs = cands.count()
+    pairs_in = F.broadcast(cands) if n_pairs < 10_000_000 else cands
     verified = stage(
         "verified_pairs",
         lambda: verify_pairs(
-            cands,
+            pairs_in,
             signatures,
             cfg,
             id_col=ID,

@@ -116,6 +116,26 @@ class ParquetCatalog:
         )
         self.append(per_part, LINEAGE_TABLE)
 
+    def log_event(
+        self, stage: str, config_hash: str, extra: dict | None = None
+    ) -> None:
+        """Single lineage row for audits/counters not tied to a table write."""
+        row = self.spark.createDataFrame(
+            [
+                (
+                    stage,
+                    -1,
+                    0,
+                    "",
+                    config_hash,
+                    json.dumps(extra or {}, sort_keys=True),
+                )
+            ],
+            "stage string, partition_id int, rows long, input_snapshot string,"
+            " config_hash string, extra string",
+        )
+        self.append(row, LINEAGE_TABLE)
+
     def lineage(self) -> DataFrame:
         return self.read(LINEAGE_TABLE)
 

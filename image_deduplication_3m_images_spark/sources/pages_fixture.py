@@ -208,6 +208,87 @@ def pages_dataframe(spark, fixture: PagesFixture):
     )
 
 
+def pages_distributed(spark, n_rows: int, seed: int = 42, partitions: int = 32):
+    """Distributed deterministic pages corpus for benchmark scale (100k-10M
+    rows): every row is a pure function of its id, generated executor-side
+    with mapInPandas over ``spark.range`` — the driver never holds the corpus
+    (this is exactly how a 10^12-row synthetic input would be made).
+
+    Structure (fractions of n_rows): 1%% skew-bomb 404 cluster, 4%% exact-dup
+    groups of 4, 10%% near-dup groups of 5 (member edits ~1.5%%), 85%% unique.
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    vocab = _make_vocab(rng, 4096)
+    vocab_arr = np.array(vocab)
+
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xBF58476D1CE4E5B9)
+    SEED = np.uint64(seed)
+
+    def body_tokens(s: int, length: int) -> list[str]:
+        ks = np.arange(length, dtype=np.uint64)
+        mixed = (np.uint64(s) * M1 + (ks + np.uint64(1)) * M2 + SEED)
+        mixed ^= mixed >> np.uint64(27)
+        return vocab_arr[(mixed % np.uint64(len(vocab_arr))).astype(np.int64)].tolist()
+
+    lo_exact = int(n_rows * 0.01)
+    lo_near = int(n_rows * 0.05)
+    lo_uniq = int(n_rows * 0.15)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < lo_exact:  # skew bomb
+                    toks = ["page", "not", "found", "error", "404", "return", "home"]
+                    if i % 7 == 1:
+                        toks = toks + body_tokens(i, 1)
+                    title = "404 not found"
+                elif i < lo_near:  # exact-dup groups of 4
+                    g = (i - lo_exact) // 4
+                    toks = body_tokens(10_000_019 + g, 120)
+                    title = f"exact {g}"
+                elif i < lo_uniq:  # near-dup groups of 5
+                    g = (i - lo_near) // 5
+                    m = (i - lo_near) % 5
+                    toks = body_tokens(20_000_003 + g, 400)
+                    if m > 0:
+                        pos = (np.arange(6, dtype=np.uint64) * M2 + np.uint64(i)) % np.uint64(400)
+                        repl = body_tokens(30_000_017 + i, 6)
+                        for p, r in zip(pos.astype(int), repl):
+                            toks[p] = r
+                    title = f"near {g}"
+                else:
+                    toks = body_tokens(i, 50 + i % 250)
+                    title = f"unique {i}"
+                body = " ".join(toks)
+                url = f"https://site{i % 997:04d}.example/p/{i:09d}"
+                out.append(
+                    (
+                        url,
+                        EPOCH + datetime.timedelta(seconds=i),
+                        render_html(title, body),
+                        expected_text(title, body),
+                        "en",
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    return (
+        spark.range(n_rows)
+        .repartition(partitions)
+        .mapInPandas(gen, schema)
+    )
+
+
 def truth_dataframe(spark, fixture: PagesFixture):
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 

@@ -31,8 +31,7 @@ def main() -> None:
     from image_deduplication_3m_images_spark.plans.dedupe import pipeline_summary, run_dedupe
     from image_deduplication_3m_images_spark.session import get_spark
     from image_deduplication_3m_images_spark.sources.pages_fixture import (
-        generate_pages,
-        pages_dataframe,
+        pages_distributed,
     )
 
     from image_deduplication_3m_images_spark.session import warm_python_workers
@@ -44,9 +43,18 @@ def main() -> None:
     warm_python_workers(spark, args.cores)
 
     if args.fixture:
-        pages = pages_dataframe(spark, generate_pages(n_rows=args.fixture, seed=42))
-        pages = pages.repartition(max(args.cores, 8))
-        n = args.fixture
+        # materialize the synthetic corpus as a parquet table first so the
+        # timed pipeline does a distributed scan (the north-rule input is a
+        # table, not a driver-side list)
+        input_path = os.path.join(args.warehouse, "_input_pages")
+        if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+            # distributed executor-side generation; fixed partition count so
+            # runs at different core counts read byte-identical input layouts
+            pages_distributed(spark, args.fixture, seed=42, partitions=32).write.mode(
+                "overwrite"
+            ).parquet(input_path)
+        pages = spark.read.parquet(input_path)
+        n = pages.count()
     elif args.input:
         pages = spark.read.parquet(args.input)
         n = pages.count()

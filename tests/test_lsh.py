@@ -1,0 +1,74 @@
+"""LSH skew-tier tests: small buckets get full pairs, medium buckets get
+salted sub-bucket joins + star edges, mega buckets get star edges only —
+and every tier keeps the bucket fully connected (no silent pair drops,
+unlike the reference's caps at deduplication.py:314-326).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.operators.cluster import connected_components
+from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs
+
+CFG = DedupConfig()  # cap 64, salt_factor 8 -> salted tier up to 512
+
+SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("minhash", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def _same_sig_df(spark, n, base=0):
+    sig = [1000 + j for j in range(CFG.num_perm)]
+    return spark.createDataFrame([(base + i, sig) for i in range(n)], SIG_SCHEMA)
+
+
+def _pairs(spark, n):
+    df = candidate_pairs(_same_sig_df(spark, n), CFG, id_col="doc_id")
+    return df.select("id_a", "id_b").collect()
+
+
+def test_small_bucket_full_pairs(spark):
+    rows = _pairs(spark, 10)
+    assert len(rows) == 45  # C(10,2): nothing dropped in the small tier
+
+
+def test_medium_bucket_salted_join_connected(spark):
+    n = 100  # cap < 100 <= cap*salt -> salted tier
+    rows = _pairs(spark, n)
+    n_pairs = len(rows)
+    # far fewer than C(100,2)=4950, but more than a bare star (n-1)
+    assert n - 1 <= n_pairs < 2500, n_pairs
+    # connectivity is exact: one component
+    edges = spark.createDataFrame(rows, ["id_a", "id_b"])
+    comp = connected_components(edges)
+    assert comp.select("cluster_id").distinct().count() == 1
+    assert comp.count() == n
+
+
+def test_mega_bucket_star_only_connected(spark):
+    n = 600  # > cap*salt -> star tier
+    rows = _pairs(spark, n)
+    assert len(rows) == n - 1  # exactly a star
+    edges = spark.createDataFrame(rows, ["id_a", "id_b"])
+    comp = connected_components(edges)
+    assert comp.select("cluster_id").distinct().count() == 1
+    assert comp.count() == n
+
+
+def test_band_keys_deterministic(spark):
+    from image_deduplication_3m_images_spark.operators.lsh import explode_bands
+
+    sig = _same_sig_df(spark, 3)
+    a = {(r["doc_id"], r["band_id"]): r["band_key"] for r in explode_bands(sig, CFG, "doc_id").collect()}
+    b = {(r["doc_id"], r["band_id"]): r["band_key"] for r in explode_bands(sig, CFG, "doc_id").collect()}
+    assert a == b
+    # identical signatures -> identical band keys across docs
+    keys0 = [a[(0, band)] for band in range(CFG.bands)]
+    keys1 = [a[(1, band)] for band in range(CFG.bands)]
+    assert keys0 == keys1

@@ -1,0 +1,94 @@
+"""Packed-signature equivalence: the hot pipeline returns MinHash/band keys
+as binary cells (Arrow list-conversion costs ~4us/element — measured 55 s per
+100k docs for array<long>(128)); these tests pin byte-level equivalence with
+the array path and the JVM band-key expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.functions.signatures import (
+    make_extract_signature_packed_udf,
+    make_extract_signature_udf,
+    unpack_band_keys_expr,
+)
+from image_deduplication_3m_images_spark.operators.lsh import band_key_expr
+from image_deduplication_3m_images_spark.operators.verify import (
+    sig_matches_expr,
+    sig_matches_packed,
+)
+from image_deduplication_3m_images_spark.sources.pages_fixture import (
+    generate_pages,
+    pages_dataframe,
+)
+
+CFG = DedupConfig()
+
+
+def _both(spark, n=80):
+    pages = pages_dataframe(spark, generate_pages(n_rows=n, seed=5)).cache()
+    arr = pages.select(
+        "url", make_extract_signature_udf(CFG)(F.col("html")).alias("s")
+    ).select("url", "s.text", "s.n_shingles", "s.minhash", "s.simhash")
+    packed = pages.select(
+        "url", make_extract_signature_packed_udf(CFG)(F.col("html")).alias("s")
+    ).select(
+        "url", "s.text", "s.n_shingles", "s.minhash_bin", "s.band_keys_bin", "s.simhash"
+    )
+    return arr, packed
+
+
+def test_packed_minhash_bytes_equal_array(spark):
+    arr, packed = _both(spark)
+    a = {r["url"]: r for r in arr.collect()}
+    p = {r["url"]: r for r in packed.collect()}
+    assert a.keys() == p.keys()
+    for url in a:
+        assert a[url]["text"] == p[url]["text"]
+        assert a[url]["n_shingles"] == p[url]["n_shingles"]
+        assert a[url]["simhash"] == p[url]["simhash"]
+        unpacked = np.frombuffer(p[url]["minhash_bin"], dtype=">i8").tolist()
+        assert unpacked == list(a[url]["minhash"])
+
+
+def test_packed_band_keys_equal_jvm_expr(spark):
+    arr, packed = _both(spark)
+    jvm = arr.select(
+        "url",
+        F.array(
+            *[band_key_expr(F.col("minhash"), b, CFG.rows_per_band) for b in range(CFG.bands)]
+        ).alias("keys"),
+    )
+    unp = packed.select(
+        "url", unpack_band_keys_expr(F.col("band_keys_bin"), CFG.bands).alias("keys")
+    )
+    a = {r["url"]: list(r["keys"]) for r in jvm.collect()}
+    b = {r["url"]: list(r["keys"]) for r in unp.collect()}
+    assert a == b
+
+
+def test_packed_matches_equal_array_matches(spark):
+    arr, packed = _both(spark)
+    pa = arr.alias("x").crossJoin(arr.alias("y")).where(F.col("x.url") < F.col("y.url")).limit(200)
+    m1 = {
+        (r["xu"], r["yu"]): r["m"]
+        for r in pa.select(
+            F.col("x.url").alias("xu"), F.col("y.url").alias("yu"),
+            sig_matches_expr(F.col("x.minhash"), F.col("y.minhash")).alias("m"),
+        ).collect()
+    }
+    pb = packed.alias("x").crossJoin(packed.alias("y")).where(F.col("x.url") < F.col("y.url")).limit(200)
+    m2 = {
+        (r["xu"], r["yu"]): r["m"]
+        for r in pb.select(
+            F.col("x.url").alias("xu"), F.col("y.url").alias("yu"),
+            sig_matches_packed(F.col("x.minhash_bin"), F.col("y.minhash_bin")).alias("m"),
+        ).collect()
+    }
+    shared = set(m1) & set(m2)
+    assert len(shared) >= 100
+    for k in shared:
+        assert m1[k] == m2[k]

@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the optimizations the 100 TB story depends
+on must stay visible in `.explain` — column pruning reaching the parquet
+scan, filter pushdown, broadcasted small sides, no accidental cartesian
+products, and exactly one Python boundary in the signature job.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.plans import queries as Q
+from image_deduplication_3m_images_spark.plans.dedupe import build_signatures
+from image_deduplication_3m_images_spark.sources.pages_fixture import (
+    generate_pages,
+    pages_dataframe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lang_stats_prunes_columns(spark):
+    plan = plan_of(Q.q_lang_stats(spark, SF))
+    # only the 3 needed columns reach the scan — not text/source
+    assert "doc_id:bigint,lang:string,n_chars:bigint" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_embedding_topk_pushdown_and_broadcast(spark):
+    plan = plan_of(Q.q_embedding_topk(spark, SF))
+    assert "LessThan(vec_id,10)" in plan  # filter pushed into parquet scan
+    assert "Broadcast" in plan            # query side broadcast
+    assert "WindowGroupLimit" in plan     # top-k rank pushed below full sort
+
+
+def test_candidate_pairs_no_cartesian(spark):
+    plan = plan_of(Q.q_candidate_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_signature_job_single_python_boundary(spark):
+    fx = generate_pages(n_rows=50, seed=3)
+    pages = pages_dataframe(spark, fx)
+    plan = plan_of(build_signatures(pages, DedupConfig()))
+    # extraction + minhash + simhash fused: exactly one ArrowEvalPython node id
+    import re
+
+    ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(ids) == 1, f"expected one fused Python boundary, got {ids}"
