@@ -53,6 +53,9 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     headline = [
+        "event_windows",
+        "pricing_summary",
+        "top_nations",
         "exact_dedup",
         "signature_digest",
         "candidate_pairs",

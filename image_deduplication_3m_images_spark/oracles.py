@@ -180,6 +180,28 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
     s_en, s_de, s_fr, s_es = (score_expr(lang_scores[x]) for x in ("en", "de", "fr", "es"))
 
     return {
+        "event_windows": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(round(value * 100, 0)::BIGINT)::BIGINT AS total_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+                   sum(round(l_quantity * 100, 0)::BIGINT)::BIGINT AS sum_qty_cents,
+                   sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_price_cents,
+                   sum(round(l_discount * 100, 0)::BIGINT)::BIGINT AS sum_disc_cents
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_nations": """
+            SELECT n_name, count(*) AS n_orders,
+                   sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name ASC LIMIT 10
+        """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
                    min(doc_id) AS min_doc

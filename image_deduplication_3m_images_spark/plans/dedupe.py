@@ -92,14 +92,13 @@ def run_dedupe(
             return cat.read(name)
         t0 = time.time()
         df = builder()
-        snap_in = ""
         cat.write(df, name)
         out = cat.read(name)
-        cat.log_lineage(
-            out,
+        # lineage from parquet footers: no extra scan of the fresh table
+        cat.log_lineage_for_table(
+            name,
             name,
             chash,
-            input_snapshot=snap_in,
             extra={**(extra or {}), "wall_s": round(time.time() - t0, 3)},
         )
         return out

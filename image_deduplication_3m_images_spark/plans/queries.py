@@ -243,7 +243,72 @@ def q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+# --- event-time windowed aggregation (streaming-shaped, batch-verified) ------
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling 10-minute event windows (same plan Structured Streaming runs;
+    see streaming/incremental.py).  total_cents keeps the money sum integer-
+    exact so the oracle comparison has no float-order drift."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# --- general relational: aggregation + broadcast multi-join -------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation; money sums carried as integer cents so
+    double summation order cannot drift vs the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.sum(F.round(F.col(c) * 100, 0).cast("long")).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            cents("l_quantity").alias("sum_qty_cents"),
+            cents("l_extendedprice").alias("sum_price_cents"),
+            cents("l_discount").alias("sum_disc_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_nations(spark, sf_dir):
+    """Revenue per nation: fact table joins two small dims — both explicitly
+    broadcast (the plan a 100 TB fact scan needs)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
+        .limit(10)
+    )
+
+
 ALL_QUERIES = {
+    "event_windows": q_event_windows,
+    "pricing_summary": q_pricing_summary,
+    "top_nations": q_top_nations,
     "lang_stats": q_lang_stats,
     "signature_digest": q_signature_digest,
     "token_stats": q_token_stats,

@@ -116,6 +116,38 @@ class ParquetCatalog:
         )
         self.append(per_part, LINEAGE_TABLE)
 
+    def log_lineage_for_table(
+        self,
+        table: str,
+        stage: str,
+        config_hash: str,
+        input_snapshot: str = "",
+        extra: dict | None = None,
+    ) -> None:
+        """Per-partition lineage from parquet FOOTERS of a committed table —
+        one row per data file, row counts read driver-side from metadata (no
+        Spark job, no data scan; Iceberg equivalent: manifest entries)."""
+        import pyarrow.parquet as pq
+
+        p = self._path(table)
+        rows = []
+        files = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        extra_json = json.dumps(extra or {}, sort_keys=True)
+        for idx, f in enumerate(files):
+            n = pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            rows.append((stage, idx, n, input_snapshot, config_hash, extra_json))
+        if not rows:
+            rows = [(stage, -1, 0, input_snapshot, config_hash, extra_json)]
+        df = self.spark.createDataFrame(
+            rows,
+            "stage string, partition_id int, rows long, input_snapshot string,"
+            " config_hash string, extra string",
+        )
+        self.append(df, LINEAGE_TABLE)
+
     def log_event(
         self, stage: str, config_hash: str, extra: dict | None = None
     ) -> None:

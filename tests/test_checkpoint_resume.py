@@ -1,0 +1,76 @@
+"""Checkpoint-catalog semantics: atomic commit, config-hash-gated resume
+(config drift -> refuse to resume, recompute), lineage events.
+Reference analog: ProgressTracker resume (/root/reference/pipeline.py:106-173)
+which silently accepted config drift — a bug class we refuse to reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.plans.dedupe import run_dedupe
+from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+from image_deduplication_3m_images_spark.sources.pages_fixture import (
+    generate_pages,
+    pages_dataframe,
+)
+
+
+def test_stage_complete_requires_matching_config(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    cat.write(df, "stage_x")
+    cat.log_lineage(cat.read("stage_x"), "stage_x", config_hash="aaaa")
+    assert cat.stage_complete("stage_x", "aaaa")
+    assert not cat.stage_complete("stage_x", "bbbb")  # drift -> recompute
+    assert not cat.stage_complete("missing_stage", "aaaa")
+
+
+def test_atomic_overwrite_and_snapshot_changes(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.write(spark.createDataFrame([(1,)], ["x"]), "t")
+    s1 = cat.snapshot_id("t")
+    cat.write(spark.createDataFrame([(1,), (2,)], ["x"]), "t")
+    s2 = cat.snapshot_id("t")
+    assert s1 != s2
+    assert cat.read("t").count() == 2
+
+
+def test_log_event_row(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.log_event("extraction_audit", "cfg1", extra={"mismatched_rows": 0})
+    rows = cat.lineage().collect()
+    assert len(rows) == 1
+    assert rows[0]["stage"] == "extraction_audit"
+    assert '"mismatched_rows": 0' in rows[0]["extra"]
+
+
+def test_config_drift_recomputes_not_resumes(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    fx = generate_pages(n_rows=160, seed=9)
+    pages = pages_dataframe(spark, fx).cache()
+    r1 = run_dedupe(spark, pages, wh, DedupConfig())
+    n1 = r1.count()
+    # different config -> every stage recomputed (not resumed with stale data)
+    cfg2 = DedupConfig(jaccard_threshold=0.9)
+    r2 = run_dedupe(spark, pages, wh, cfg2)
+    assert r2.count() == n1  # row preservation under both configs
+    cat = ParquetCatalog(spark, wh)
+    hashes = {
+        r["config_hash"]
+        for r in cat.lineage().select("config_hash").distinct().collect()
+    }
+    assert DedupConfig().config_hash() in hashes
+    assert cfg2.config_hash() in hashes
+
+
+def test_extraction_audit_runs(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    fx = generate_pages(n_rows=150, seed=4)
+    pages = pages_dataframe(spark, fx)
+    run_dedupe(spark, pages, wh, DedupConfig(), validate_extraction=True)
+    cat = ParquetCatalog(spark, wh)
+    audit = cat.lineage().where(F.col("stage") == "extraction_audit").collect()
+    assert len(audit) == 1
+    assert '"mismatched_rows": 0' in audit[0]["extra"]
