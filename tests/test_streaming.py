@@ -47,8 +47,23 @@ def test_stream_signatures_incremental(spark, tmp_path):
     got2 = spark.read.parquet(outdir)
     assert got2.count() == n_total
     assert got2.select("url").distinct().count() == n_total
-    # signatures identical to the batch stage for the same rows
-    assert set(got2.columns) >= {"url", "text", "minhash", "simhash", "quality"}
+    # signatures identical to the batch stage for the same rows: the stream
+    # runs build_signatures verbatim, so it emits the packed signature schema
+    # (minhash_bin / band_keys_bin, commit fec8fc6) plus the batch id.
+    assert set(got2.columns) >= {
+        "url", "text", "text_sha256", "minhash_bin", "band_keys_bin",
+        "simhash", "quality", "batch_id",
+    }
+    # byte-level parity with the batch stage for an overlapping row sample
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.plans.dedupe import build_signatures
+
+    batch = build_signatures(pages, DedupConfig()).select(
+        "url", "minhash_bin", "simhash"
+    )
+    stream_sample = got2.select("url", "minhash_bin", "simhash")
+    assert stream_sample.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_sample).count() == 0
 
 
 def test_windowed_event_counts_static_equivalence(spark):
