@@ -29,7 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names/types).
 
-    ``embedding_topk_lsh`` is intentionally absent: it is the approximate
-    bucketed ANN variant — driver records the weaker rows-only check.
+    Every queries() entry has an oracle, including ``embedding_topk_lsh``
+    (the sign-LSH bucket id is a dot product against literal hyperplanes,
+    so the oracle evaluates the identical expression).
     """
     return oracle_sql_map()

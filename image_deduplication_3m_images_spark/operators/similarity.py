@@ -108,33 +108,80 @@ def signlsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    multiprobe: bool = True,
+    n_tables: int = 1,
+    seed: int = 7,
 ) -> DataFrame:
-    """IVF/LSH-bucketed approximate top-k: candidates share the sign-LSH
-    bucket; exact cosine + window top-k within candidates.  At 100 TB the
-    bucket key is the shuffle key (2**n_planes partitions of the corpus);
-    recall is tuned by lowering n_planes or probing neighbor buckets.
+    """LSH-bucketed approximate top-k: standard multi-table sign-LSH
+    (``n_tables`` independent tables of ``n_planes`` bits each, candidate =
+    bucket collision in ANY table), optional Hamming-1 ``multiprobe`` (the
+    query additionally probes every bucket reachable by flipping one sign
+    bit).  Exact cosine + window top-k within the candidate union.
+
+    Recall/cost tuning — P(bit match) = 1 - theta/pi, so per-table collision
+    is p**b: size ``n_planes`` to the workload's neighbor similarity (near-
+    duplicate cosine>=0.9 -> b=8-16 and 1-2 tables suffice; moderate-
+    similarity kNN needs smaller b + more tables) and ``n_tables`` to the
+    recall target 1-(1-p_table)**L.  Candidate fraction per query ~=
+    L * probes / 2**b of the corpus.
+
+    Scale shape: the corpus is scanned ONCE map-side (per-table buckets are
+    an exploded array of structs, no re-scan per table) and NEVER shuffled —
+    the (small) query probe set is broadcast, so candidates are produced by
+    a map-side broadcast hash join; only matched candidates flow into the
+    top-k window.  Cross-table duplicate candidates are collapsed by a
+    distinct on the (tiny) scored pairs.
     """
-    planes = hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        signlsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    c_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tab"),
+                signlsh_bucket_expr(F.col("c_vec"), planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .select("neighbor_id", "c_vec", F.explode(c_buckets).alias("tb"))
+        .select("neighbor_id", "c_vec", "tb.tab", "tb.bucket")
+    )
+
+    def probe_structs(t: int, planes) -> list:
+        b = signlsh_bucket_expr(F.col("q_vec"), planes)
+        out = [F.struct(F.lit(t).alias("tab"), b.alias("bucket"))]
+        if multiprobe:
+            out += [
+                F.struct(
+                    F.lit(t).alias("tab"),
+                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                )
+                for i in range(n_planes)
+            ]
+        return out
+
+    q_probes = F.array(
+        *[s for t, planes in enumerate(tables) for s in probe_structs(t, planes)]
     )
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            signlsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
+        .select("query_id", "q_vec", F.explode(q_probes).alias("tb"))
+        .select("query_id", "q_vec", "tb.tab", "tb.bucket")
     )
     scored = (
-        c.join(q, "bucket")
+        c.join(q, ["tab", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

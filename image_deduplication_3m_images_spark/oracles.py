@@ -157,6 +157,71 @@ _QUALITY_SQL = """
 """
 
 
+def _signlsh_bucket_sql(vec: str, planes) -> str:
+    """Sign-LSH bucket id as a DuckDB expression over the SAME literal
+    hyperplanes the Spark side uses (operators/similarity.py:signlsh_bucket_expr):
+    bit i = (vec . plane_i >= 0), dot evaluated as list_sum of pairwise
+    double products — the accumulation order Spark's aggregate() fold uses.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({vec}, {lit}::DOUBLE[]), "
+            "p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def _signlsh_topk_sql(
+    n_planes: int = 5, n_tables: int = 8, dim: int = 64, k: int = 5, seed: int = 7
+) -> str:
+    """Oracle for the bucketed ANN query: identical per-table hyperplane
+    literals, Hamming-1 multiprobe (query bucket plus each one-bit flip per
+    table), DISTINCT over cross-table candidate dups, exact cosine + top-k —
+    mirrors signlsh_topk(n_planes=5, n_tables=8, multiprobe=True) exactly."""
+    from image_deduplication_3m_images_spark.operators.similarity import hyperplanes
+
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    c_parts = []
+    q_parts = []
+    for t, planes in enumerate(tables):
+        c_parts.append(
+            f"SELECT neighbor_id, cv, {t} AS tab, "
+            f"{_signlsh_bucket_sql('cv', planes)} AS bucket "
+            "FROM (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)"
+        )
+        probe_list = "[b" + "".join(
+            f", xor(b, {1 << i})" for i in range(n_planes)
+        ) + "]"
+        q_parts.append(
+            f"SELECT query_id, qv, {t} AS tab, unnest({probe_list}) AS bucket "
+            f"FROM (SELECT query_id, qv, {_signlsh_bucket_sql('qv', planes)} AS b "
+            "FROM (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id < 10))"
+        )
+    c_union = " UNION ALL ".join(c_parts)
+    q_union = " UNION ALL ".join(q_parts)
+    return f"""
+        WITH c AS ({c_union}),
+        q AS ({q_union}),
+        scored AS (
+          SELECT DISTINCT query_id, neighbor_id,
+            list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+              / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+          FROM c JOIN q USING (tab, bucket) WHERE neighbor_id <> query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
     sig = "WITH RECURSIVE " + signature_ctes(cfg).lstrip()
     sig_bands = sig + band_ctes(cfg)
@@ -327,6 +392,5 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= 5
         """,
-        # embedding_topk_lsh: intentionally no oracle (approximate, bucketed) —
-        # driver records rows-only check.
+        "embedding_topk_lsh": _signlsh_topk_sql(),
     }

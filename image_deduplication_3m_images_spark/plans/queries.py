@@ -235,10 +235,21 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_topk_lsh(spark, sf_dir):
-    """Approximate (sign-LSH bucketed) variant — rows-only check (bucket
-    membership is not reasonably SQL-expressible; deterministic regardless)."""
+    """Approximate ANN: multi-table sign-LSH (8 tables x 5 bits, Hamming-1
+    multiprobe) sized for ~0.98 recall at this fixture's neighbor similarity
+    (cosine ~0.32; near-dup workloads retune to fewer, wider tables).  Fully
+    oracle-checked: the bucket id is a dot product against LITERAL
+    hyperplanes, so the DuckDB oracle evaluates the identical expression
+    (oracles.py emits the same float literals)."""
     emb = load(spark, sf_dir, "embeddings")
-    return signlsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4).select(
+    return signlsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_planes=5,
+        n_tables=8,
+        multiprobe=True,
+    ).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
     )
 
