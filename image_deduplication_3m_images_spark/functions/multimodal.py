@@ -155,19 +155,54 @@ def sample_frames(media: DataFrame, every_k: int = 10, max_frames: int = 32) -> 
     return media.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
 
 
-def media_dedup_candidates(features: DataFrame) -> DataFrame:
-    """Exact-phash blocking for media near-dup candidates — the image analog
-    of the text pipeline's LSH bucket join (same shuffle pattern).
+def media_dedup_candidates(features: DataFrame, radius: int = 3) -> DataFrame:
+    """Perceptual-hash near-dup candidates within Hamming ``radius`` — the
+    image analog of the text pipeline's LSH bucket join, via the same
+    pigeonhole chunk blocking the SimHash operator uses (reference analog:
+    LSH over wavelet hashes, /root/reference/modules/deduplication.py:270-283).
+    Returns (id_a, id_b, hamming); radius=0 degrades to exact-phash pairs.
     """
-    a = features.select(
-        F.col("phash64"), F.col("media_id").alias("id_a")
+    from image_deduplication_3m_images_spark.operators.dedup import (
+        hamming_block_pairs,
     )
-    b = features.select(F.col("phash64"), F.col("media_id").alias("id_b"))
-    return (
-        a.join(b, "phash64")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "phash64")
-        .dropDuplicates(["id_a", "id_b"])
+
+    return hamming_block_pairs(features, "phash64", "media_id", radius=radius)
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from a documents table: payload =
+    UTF-8 bytes of the text, kind round-robins image/video/audio by id, and
+    every ``id % 10 == 9`` row COPIES the payload of ``id - 9`` (same kind
+    stratum, since 9 % 3 == 0) so duplicate-payload structure exists at any
+    scale factor.
+
+    This is the oracle-checkable media fixture: every downstream feature is
+    a pure function of md5(payload), and the planting rule is a self-join —
+    both DuckDB-expressible, so the multimodal plumbing is gated by the
+    same hash-match parity as the text operators (not just pytest).
+    """
+    src = F.when(
+        (F.col(id_col) % 10 == 9) & (F.col(id_col) >= 9),
+        F.col(id_col) - 9,
+    ).otherwise(F.col(id_col))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        src.cast("long").alias("src_id"),
+    )
+    texts = docs.select(
+        F.col(id_col).cast("long").alias("src_id"),
+        F.col(text_col).alias("_payload_text"),
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    return base.join(texts, "src_id").select(
+        "media_id",
+        kind.alias("kind"),
+        F.encode(F.col("_payload_text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("source_url"),
     )
 
 

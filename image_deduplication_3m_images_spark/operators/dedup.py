@@ -39,29 +39,42 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
-def simhash_block_pairs(
-    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+def hamming_block_pairs(
+    df: DataFrame, hash_col: str, id_col: str, radius: int = 3
 ) -> DataFrame:
-    """Candidate pairs by SimHash chunk blocking (pigeonhole: hamming <= h
-    implies at least one of h+1 equal chunks), then exact Hamming filter.
+    """Candidate pairs within Hamming ``radius`` of a 64-bit hash column, by
+    pigeonhole chunk blocking: hamming <= h implies at least one of h+1
+    equal chunks, so splitting the hash into h+1 chunks and self-joining on
+    (chunk_id, chunk) finds every qualifying pair WITHOUT an all-pairs scan.
+    Exact bit_count filter afterwards removes chunk-collision false
+    positives.  Returns (id_a, id_b, hamming), distinct, hamming <= radius.
 
-    Splits the 64-bit simhash into 4 x 16-bit chunks (handles hamming <= 3
-    exactly); returns (id_a, id_b, hamming) with hamming <= 3, distinct.
+    Scale shape: one explode (x(h+1) rows of (id, 16ish-bit chunk, hash)),
+    one hash-shuffle self-join on the chunk key — the same pattern as the
+    MinHash band join; hot chunks (e.g. all-zero hashes) are bounded by the
+    chunk width, and the distinct runs on the (small) matched pairs only.
     """
+    n_chunks = radius + 1
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
+            # last chunk takes the remaining high bits so all 64 are covered
+            F.shiftright(F.col(hash_col), width * i).bitwiseAND(
+                F.lit((1 << (64 - width * i)) - 1 if i == n_chunks - 1 else mask)
+            )
+            for i in range(n_chunks)
         ]
     )
-    blocks = sig_df.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk_id", "chunk")
+    blocks = df.select(
+        F.col(id_col), F.col(hash_col).alias("h"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
     )
     a = blocks.select(
-        "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+        "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("h").alias("h_a")
     )
     b = blocks.select(
-        "chunk_id", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+        "chunk_id", "chunk", F.col(id_col).alias("id_b"), F.col("h").alias("h_b")
     )
     return (
         a.join(b, ["chunk_id", "chunk"])
@@ -69,11 +82,19 @@ def simhash_block_pairs(
         .select(
             "id_a",
             "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
         )
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= radius)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_block_pairs(
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup candidates: Hamming <= 3 via 4x16-bit pigeonhole
+    chunk blocking (see hamming_block_pairs)."""
+    return hamming_block_pairs(sig_df, "simhash", id_col, radius=3)
 
 
 def ngram_jaccard_pairs(

@@ -222,6 +222,54 @@ def _signlsh_topk_sql(
     """
 
 
+# Media fixture derivation (mirrors functions/multimodal.py): payload =
+# UTF-8 bytes of documents.text with planted duplicates (id % 10 == 9 copies
+# id - 9), kind = doc_id % 3 (0=image,1=video,2=audio), fake decode = pure
+# function of md5(payload):
+#   width  = 64 + bytes[0:2] % 1984,  height = 64 + bytes[2:4] % 1984,
+#   phash64 = bytes[4:12] big-endian SIGNED.
+_MEDIA_CTE = """
+media AS (
+  SELECT d.doc_id AS media_id, d.doc_id % 3 AS kind3, s.text AS payload_text
+  FROM documents d JOIN documents s
+    ON s.doc_id = CASE WHEN d.doc_id % 10 = 9 AND d.doc_id >= 9
+                       THEN d.doc_id - 9 ELSE d.doc_id END
+)
+"""
+
+_MEDIA_FEATURES_CTE = _MEDIA_CTE + """,
+feats AS (
+  SELECT media_id, n_bytes,
+         64 + ('0x' || substr(h, 1, 4))::INT % 1984 AS width,
+         64 + ('0x' || substr(h, 5, 4))::INT % 1984 AS height,
+         CASE WHEN ('0x' || substr(h, 9, 16))::UBIGINT >= 9223372036854775808::UBIGINT
+              THEN (('0x' || substr(h, 9, 16))::UBIGINT::HUGEINT
+                    - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE ('0x' || substr(h, 9, 16))::UBIGINT::BIGINT END AS phash64
+  FROM (
+    -- md5(VARCHAR) hashes the string's UTF-8 bytes == md5 of the payload
+    SELECT media_id, md5(payload_text) AS h,
+           octet_length(encode(payload_text))::INT AS n_bytes
+    FROM media WHERE kind3 = 0
+  )
+)
+"""
+
+
+def _media_dedup_sql(radius: int = 3) -> str:
+    """Oracle for Hamming-radius phash blocking: brute-force all-pairs with
+    bit_count filter — O(n^2) is fine at oracle scale and is deliberately a
+    DIFFERENT algorithm than the engine's pigeonhole blocking (stronger
+    check: blocking must find exactly the pairs brute force finds)."""
+    return f"""
+        WITH {_MEDIA_FEATURES_CTE.strip()}
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               bit_count(xor(a.phash64, b.phash64))::INT AS hamming
+        FROM feats a JOIN feats b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash64, b.phash64)) <= {radius}
+    """
+
+
 def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
     sig = "WITH RECURSIVE " + signature_ctes(cfg).lstrip()
     sig_bands = sig + band_ctes(cfg)
@@ -393,4 +441,24 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= 5
         """,
         "embedding_topk_lsh": _signlsh_topk_sql(),
+        "image_features": f"""
+            WITH {_MEDIA_FEATURES_CTE.strip()}
+            SELECT media_id, width, height, n_bytes, phash64 FROM feats
+        """,
+        "media_dedup": _media_dedup_sql(radius=3),
+        "frame_samples": f"""
+            WITH {_MEDIA_CTE.strip()}
+            SELECT media_id, n_frames,
+                   len(sampled)::INT AS n_sampled,
+                   array_to_string(sampled, ',') AS sampled_csv
+            FROM (
+              SELECT media_id, n_frames,
+                     list_transform(range(0, n_frames, 10), x -> x)[1:32] AS sampled
+              FROM (
+                SELECT media_id,
+                       greatest(1, octet_length(encode(payload_text)) // 1024)::INT AS n_frames
+                FROM media WHERE kind3 = 1
+              )
+            )
+        """,
     }

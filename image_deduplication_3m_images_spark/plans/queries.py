@@ -254,6 +254,63 @@ def q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+# --- multimodal (binary media columns, mapInPandas kernels) ------------------
+
+def _media(spark, sf_dir) -> DataFrame:
+    from image_deduplication_3m_images_spark.functions.multimodal import (
+        media_from_documents,
+    )
+
+    return media_from_documents(_docs(spark, sf_dir))
+
+
+def q_image_features(spark, sf_dir):
+    """Image decode + feature extraction over binary payloads (mapInPandas,
+    Arrow-batched).  The decode is the documented deterministic md5 fake in
+    this codec-less container, which is exactly what makes it DuckDB-
+    oracle-checkable: every output is a pure function of md5(payload)."""
+    from image_deduplication_3m_images_spark.functions.multimodal import (
+        image_features,
+    )
+
+    return image_features(_media(spark, sf_dir)).select(
+        "media_id", "width", "height", "n_bytes", "phash64"
+    )
+
+
+def q_media_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup candidates at Hamming radius 3 via the same
+    pigeonhole chunk blocking as simhash_pairs (never all-pairs)."""
+    from image_deduplication_3m_images_spark.functions.multimodal import (
+        image_features,
+        media_dedup_candidates,
+    )
+
+    feats = image_features(_media(spark, sf_dir))
+    return media_dedup_candidates(feats, radius=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_frame_samples(spark, sf_dir):
+    """Video frame sampling plumbing (stub frame count = payload KiB); the
+    sampled index list is emitted as CSV so the oracle compare is string-
+    stable across list representations."""
+    from image_deduplication_3m_images_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    frames = sample_frames(_media(spark, sf_dir), every_k=10, max_frames=32)
+    return frames.select(
+        "media_id",
+        "n_frames",
+        F.size("sampled_frames").alias("n_sampled"),
+        F.concat_ws(",", F.col("sampled_frames").cast("array<string>")).alias(
+            "sampled_csv"
+        ),
+    )
+
+
 # --- event-time windowed aggregation (streaming-shaped, batch-verified) ------
 
 def q_event_windows(spark, sf_dir):
@@ -338,4 +395,7 @@ ALL_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "image_features": q_image_features,
+    "media_dedup": q_media_dedup,
+    "frame_samples": q_frame_samples,
 }
