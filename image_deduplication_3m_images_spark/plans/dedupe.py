@@ -31,7 +31,7 @@ from image_deduplication_3m_images_spark.operators.cluster import (
 )
 from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs, hot_bucket_stats
 from image_deduplication_3m_images_spark.operators.verify import verify_pairs
-from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+from image_deduplication_3m_images_spark.sources.checkpoint import make_catalog
 
 ID = "url"
 
@@ -84,7 +84,7 @@ def run_dedupe(
     extra join over the corpus.
     """
     cfg = cfg or DedupConfig()
-    cat = ParquetCatalog(spark, warehouse)
+    cat = make_catalog(spark, warehouse)
     chash = cfg.config_hash()
 
     def stage(name: str, builder, extra: dict | None = None) -> DataFrame:

@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_TABLE = "_lineage"
+_LINEAGE_SCHEMA = (
+    "stage string, partition_id int, rows long, input_snapshot string,"
+    " config_hash string, extra string"
+)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -40,6 +44,16 @@ def iceberg_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def make_catalog(spark: SparkSession, warehouse: str, catalog_name: str = "local"):
+    """Backend selection: IcebergCatalog when the runtime jar is on the
+    classpath AND a Spark SQL catalog named ``catalog_name`` is configured;
+    ParquetCatalog (same interface, same semantics) otherwise."""
+    configured = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+    if configured and iceberg_available(spark):
+        return IcebergCatalog(spark, warehouse, catalog_name=catalog_name)
+    return ParquetCatalog(spark, warehouse)
 
 
 class ParquetCatalog:
@@ -174,6 +188,139 @@ class ParquetCatalog:
     def stage_complete(self, stage: str, config_hash: str) -> bool:
         """Resume gate: stage output exists AND its lineage rows carry the
         same config hash (config drift -> refuse to resume, recompute)."""
+        if not self.exists(stage) or not self.exists(LINEAGE_TABLE):
+            return False
+        n = (
+            self.lineage()
+            .where(
+                (F.col("stage") == stage) & (F.col("config_hash") == config_hash)
+            )
+            .limit(1)
+            .count()
+        )
+        return n > 0
+
+
+class IcebergCatalog:
+    """Iceberg-backed catalog: the production checkpoint layer (north rule:
+    every stage checkpoints to Iceberg with per-partition lineage).
+
+    Same interface and semantics as ParquetCatalog, with the real thing
+    underneath: a table commit is an Iceberg snapshot (atomic, exactly-once
+    by the catalog's own commit protocol), ``snapshot_id`` is the table's
+    current Iceberg snapshot id, and per-partition lineage row counts come
+    from the ``.files`` metadata table (manifest entries — no data scan).
+
+    Requires the iceberg-spark-runtime jar and a configured SQL catalog
+    (``spark.sql.catalog.<name>``); raises at construction otherwise, so
+    ``make_catalog`` can fall back to ParquetCatalog cleanly.  Tables live
+    in a namespace derived from the warehouse path so concurrent warehouses
+    never collide.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str, catalog_name: str = "local"):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime jar not on the classpath; "
+                "use make_catalog() for automatic fallback"
+            )
+        self.spark = spark
+        self.warehouse = warehouse
+        import hashlib
+
+        ns = "wh_" + hashlib.sha256(os.path.abspath(warehouse).encode()).hexdigest()[:12]
+        self.ns = f"{catalog_name}.{ns}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+
+    # -- identifiers --------------------------------------------------------
+    def _tbl(self, table: str) -> str:
+        return f"{self.ns}.`{table}`"
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(table))
+
+    # -- table io ------------------------------------------------------------
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        """Atomic overwrite = Iceberg REPLACE TABLE commit; returns the new
+        snapshot id."""
+        df.writeTo(self._tbl(table)).using("iceberg").createOrReplace()
+        return self.snapshot_id(table)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        if self.exists(table):
+            df.writeTo(self._tbl(table)).append()
+        else:
+            df.writeTo(self._tbl(table)).using("iceberg").create()
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(self._tbl(table))
+
+    def snapshot_id(self, table: str) -> str:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(rows[0][0]) if rows else ""
+
+    # -- lineage ------------------------------------------------------------
+    def log_lineage(
+        self,
+        df: DataFrame,
+        stage: str,
+        config_hash: str,
+        input_snapshot: str = "",
+        extra: dict | None = None,
+    ) -> None:
+        per_part = (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                F.lit(input_snapshot).alias("input_snapshot"),
+                F.lit(config_hash).alias("config_hash"),
+                F.lit(json.dumps(extra or {}, sort_keys=True)).alias("extra"),
+            )
+        )
+        self.append(per_part, LINEAGE_TABLE)
+
+    def log_lineage_for_table(
+        self,
+        table: str,
+        stage: str,
+        config_hash: str,
+        input_snapshot: str = "",
+        extra: dict | None = None,
+    ) -> None:
+        """Per-data-file lineage from the Iceberg ``.files`` metadata table —
+        manifest record counts, no data scan (the real version of the
+        ParquetCatalog's footer read)."""
+        files = self.spark.sql(
+            f"SELECT record_count FROM {self._tbl(table)}.files ORDER BY file_path"
+        ).collect()
+        extra_json = json.dumps(extra or {}, sort_keys=True)
+        snap = input_snapshot or self.snapshot_id(table)
+        rows = [
+            (stage, idx, int(r["record_count"]), snap, config_hash, extra_json)
+            for idx, r in enumerate(files)
+        ] or [(stage, -1, 0, snap, config_hash, extra_json)]
+        self.append(self.spark.createDataFrame(rows, _LINEAGE_SCHEMA), LINEAGE_TABLE)
+
+    def log_event(
+        self, stage: str, config_hash: str, extra: dict | None = None
+    ) -> None:
+        row = self.spark.createDataFrame(
+            [(stage, -1, 0, "", config_hash, json.dumps(extra or {}, sort_keys=True))],
+            _LINEAGE_SCHEMA,
+        )
+        self.append(row, LINEAGE_TABLE)
+
+    def lineage(self) -> DataFrame:
+        return self.read(LINEAGE_TABLE)
+
+    def stage_complete(self, stage: str, config_hash: str) -> bool:
         if not self.exists(stage) or not self.exists(LINEAGE_TABLE):
             return False
         n = (

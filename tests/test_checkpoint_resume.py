@@ -6,19 +6,37 @@ which silently accepted config drift — a bug class we refuse to reproduce.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.config import DedupConfig
 from image_deduplication_3m_images_spark.plans.dedupe import run_dedupe
-from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+from image_deduplication_3m_images_spark.sources.checkpoint import (
+    IcebergCatalog,
+    ParquetCatalog,
+    iceberg_available,
+)
 from image_deduplication_3m_images_spark.sources.pages_fixture import (
     generate_pages,
     pages_dataframe,
 )
 
+BACKENDS = ["parquet", "iceberg"]
 
-def test_stage_complete_requires_matching_config(spark, tmp_path):
-    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+
+def _make_cat(backend, spark, wh):
+    """Catalog under test; Iceberg is skipped when the runtime jar is absent
+    (this sandbox ships none) — the same interface is exercised either way."""
+    if backend == "iceberg":
+        if not iceberg_available(spark):
+            pytest.skip("iceberg-spark-runtime jar not on the classpath")
+        return IcebergCatalog(spark, wh)
+    return ParquetCatalog(spark, wh)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_stage_complete_requires_matching_config(spark, tmp_path, backend):
+    cat = _make_cat(backend, spark, str(tmp_path / "wh"))
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
     cat.write(df, "stage_x")
     cat.log_lineage(cat.read("stage_x"), "stage_x", config_hash="aaaa")
@@ -27,8 +45,9 @@ def test_stage_complete_requires_matching_config(spark, tmp_path):
     assert not cat.stage_complete("missing_stage", "aaaa")
 
 
-def test_atomic_overwrite_and_snapshot_changes(spark, tmp_path):
-    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_atomic_overwrite_and_snapshot_changes(spark, tmp_path, backend):
+    cat = _make_cat(backend, spark, str(tmp_path / "wh"))
     cat.write(spark.createDataFrame([(1,)], ["x"]), "t")
     s1 = cat.snapshot_id("t")
     cat.write(spark.createDataFrame([(1,), (2,)], ["x"]), "t")
@@ -37,8 +56,9 @@ def test_atomic_overwrite_and_snapshot_changes(spark, tmp_path):
     assert cat.read("t").count() == 2
 
 
-def test_log_event_row(spark, tmp_path):
-    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_log_event_row(spark, tmp_path, backend):
+    cat = _make_cat(backend, spark, str(tmp_path / "wh"))
     cat.log_event("extraction_audit", "cfg1", extra={"mismatched_rows": 0})
     rows = cat.lineage().collect()
     assert len(rows) == 1
