@@ -11,8 +11,10 @@ Converges in O(graph diameter) rounds — LSH duplicate components are
 overwhelmingly tiny/star-shaped (the reference observed mostly singletons,
 ``OPTIMIZATION_SUMMARY.md:93-97``), so 3-5 rounds in practice; a pointer-
 jumping step (label -> label-of-label) halves long chains so worst-case
-rounds are O(log d).  Every iteration breaks lineage with localCheckpoint —
-without it the plan doubles per round and the job dies at scale.
+rounds are O(log d).  Every iteration breaks lineage with a checkpoint —
+without it the plan doubles per round and the job dies at scale; pass
+``checkpoint_dir`` for RELIABLE (executor-loss-tolerant) checkpoints on a
+real cluster, default localCheckpoint for local/dev speed.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ def connected_components(
     max_iterations: int = 25,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges (id_a, id_b) -> assignments (id, cluster_id).
 
@@ -34,21 +37,39 @@ def connected_components(
     Only nodes that appear in an edge are returned; callers re-attach
     singletons with a left join (reference analog: singleton re-merge,
     ``memory_efficient_deduplication.py:79-99``).
+
+    ``checkpoint_dir``: when set, per-iteration lineage breaks use RELIABLE
+    checkpoints written under it (survives executor loss — required on a
+    real cluster, where a lost executor mid-loop would otherwise kill the
+    job because localCheckpoint blocks live only on executors).  When None
+    (local/dev), the cheaper localCheckpoint is used.  The caller owns
+    cleanup of the directory once the result is materialized downstream.
     """
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).localCheckpoint(eager=True)
+    if checkpoint_dir:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    sym = ckpt(
+        edges.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        ).unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+    )
 
     # neighbor-min per node, including self -> initial labels.  This first
     # aggregation already resolves every star/bucket component (the common
     # case by far); iterations below only chase multi-hop chains.
-    labels = (
+    labels = ckpt(
         sym.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
         .withColumnRenamed("src", "id")
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -67,7 +88,7 @@ def connected_components(
         jump = labels.select(
             F.col("id").alias("cluster_id"), F.col("cluster_id").alias("jump_min")
         )
-        updated = (
+        updated = ckpt(
             labels.join(neigh, "id", "left")
             .join(jump, "cluster_id", "left")
             .select(
@@ -77,7 +98,6 @@ def connected_components(
                     F.col("cluster_id"), F.col("neigh_min"), F.col("jump_min")
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         labels = updated.select("id", "cluster_id")
         if updated.where(F.col("cluster_id") < F.col("old_cluster")).limit(1).count() == 0:

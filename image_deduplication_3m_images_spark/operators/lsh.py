@@ -11,9 +11,8 @@ unlike the reference's cap) while bounding pair count linearly in bucket size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from image_deduplication_3m_images_spark.config import DedupConfig
 
@@ -72,8 +71,10 @@ def candidate_pairs(
     for a single clean self-join — statistics-driven plan selection.
 
     Skew handling (the north rule's explicit requirement), three tiers by
-    bucket size (computed with ONE window over the same shuffle key as the
-    join — no extra shuffle):
+    bucket size (hot buckets detected with a map-side-combined groupBy whose
+    output is joined back — broadcast under AQE since only above-cap keys
+    are kept; nothing is persisted, so repeated calls leave no cached
+    blocks behind):
       * size <= cap:                 full within-bucket pairs (a < b);
       * cap < size <= cap*salt:      SALTED-KEY sub-bucket join — each member
         gets a deterministic salt in [0, salt_factor); full pairs only within
@@ -99,18 +100,28 @@ def candidate_pairs(
             )
         return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
-    w = Window.partitionBy("band_id", "band_key")
     salt_max = cfg.bucket_star_cap * cfg.salt_factor
-    bands = (
-        explode_bands(sig_df, cfg, id_col)
-        .withColumn("bucket_size", F.count(F.lit(1)).over(w))
-        .withColumn("bucket_min", F.min(id_col).over(w))
-        # consumed by several branches: persist so the explode+window computes
-        # once; spills to disk if it outgrows memory
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    flat = explode_bands(sig_df, cfg, id_col)
+    # Hot-bucket stats via groupBy (map-side partial agg -> tiny shuffle of
+    # (key, count, min) triples), kept ONLY for buckets above the star cap —
+    # on a real corpus that's a handful of keys, so AQE turns the join back
+    # into a broadcast and the tiering is map-side.  This replaces the
+    # previous full window-over-the-exploded-frame + persist design, which
+    # shuffled every row and leaked cached blocks across calls (the frame
+    # was never unpersisted).  explode_bands is a pure codegen map over the
+    # (narrow) signature table, so re-deriving it per branch is cheaper than
+    # caching it.
+    hot_stats = (
+        flat.groupBy("band_id", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.min(id_col).alias("bucket_min"),
+        )
+        .where(F.col("bucket_size") > cfg.bucket_star_cap)
     )
+    bands = flat.join(hot_stats, ["band_id", "band_key"], "left")
 
-    small = bands.where(F.col("bucket_size") <= cfg.bucket_star_cap)
+    small = bands.where(F.col("bucket_size").isNull())
     left = small.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -122,8 +133,7 @@ def candidate_pairs(
     )
 
     medium = bands.where(
-        (F.col("bucket_size") > cfg.bucket_star_cap)
-        & (F.col("bucket_size") <= salt_max)
+        F.col("bucket_size").isNotNull() & (F.col("bucket_size") <= salt_max)
     ).withColumn(
         "salt",
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(cfg.salt_factor)),
@@ -140,7 +150,7 @@ def candidate_pairs(
 
     hot_pairs = (
         bands.where(
-            (F.col("bucket_size") > cfg.bucket_star_cap)
+            F.col("bucket_size").isNotNull()
             & (F.col(id_col) != F.col("bucket_min"))
         )
         .select(

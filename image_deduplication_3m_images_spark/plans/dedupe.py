@@ -14,6 +14,8 @@ resumes from the last completed stage iff the config hash matches
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -163,11 +165,21 @@ def run_dedupe(
 
     # Verification: the pairs table is usually tiny relative to the corpus —
     # broadcast it so the signatures side is filtered MAP-SIDE (no wide
-    # shuffle of text/minhash columns).  Guarded by an actual count (cheap:
-    # cands is a checkpointed table): a pathological pair explosion falls
-    # back to a shuffle join rather than OOMing the broadcast.
-    n_pairs = cands.count()
-    pairs_in = F.broadcast(cands) if n_pairs < 10_000_000 else cands
+    # shuffle of text/minhash columns).  Guarded by ESTIMATED BYTES, not row
+    # count (10M rows of ~60-byte ids would be a multi-GB broadcast): one
+    # cheap agg over the checkpointed table gives rows + avg id width; a
+    # pathological pair explosion falls back to a shuffle join rather than
+    # OOMing the broadcast.
+    stats = cands.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(
+            F.length(F.col("id_a").cast("string"))
+            + F.length(F.col("id_b").cast("string"))
+        ).alias("avg_id_bytes"),
+    ).collect()[0]
+    n_pairs = stats["n"] or 0
+    est_bytes = n_pairs * ((stats["avg_id_bytes"] or 0.0) + 16)  # + per-row overhead
+    pairs_in = F.broadcast(cands) if est_bytes < 256 * 1024 * 1024 else cands
     verified = stage(
         "verified_pairs",
         lambda: verify_pairs(
@@ -193,10 +205,25 @@ def run_dedupe(
             .select(F.col("rep").alias("id_a"), F.col(ID).alias("id_b"))
         )
         edges = lsh_edges.unionByName(exact_edges)
-        assignments = connected_components(edges)
+        # Reliable (warehouse-backed) checkpoints for the CC iterations: an
+        # executor loss mid-loop must not kill the job on a real cluster
+        # (localCheckpoint blocks live only on executors).
+        assignments = connected_components(edges, checkpoint_dir=cc_ckpt_dir)
         return attach_singletons(assignments, signatures.select(ID), ID)
 
+    # Reliable checkpoints only help when executors can die independently of
+    # the driver; on local[*] masters (single JVM) localCheckpoint is equally
+    # fault-tolerant and ~2x faster, so gate on the master.
+    master = spark.sparkContext.master or ""
+    cc_ckpt_dir = (
+        None if master.startswith("local[") or master == "local"
+        else os.path.join(warehouse, "_cc_checkpoints")
+    )
     clusters = stage("clusters", _clusters)
+    if cc_ckpt_dir:
+        # the clusters table is committed to the catalog by now; the CC
+        # checkpoint files have served their purpose
+        shutil.rmtree(cc_ckpt_dir, ignore_errors=True)
 
     report = stage(
         "report",

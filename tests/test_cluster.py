@@ -52,3 +52,26 @@ def test_attach_singletons(spark):
     got = {r["url"]: r["cluster_id"] for r in rows}
     assert got == {"a": "a", "b": "a", "solo": "solo"}
     assert len(rows) == 3  # row preservation
+
+
+def test_connected_components_reliable_checkpoint_same_result(spark, tmp_path):
+    """checkpoint_dir variant (the real-cluster path) must produce identical
+    assignments to the localCheckpoint default."""
+    from image_deduplication_3m_images_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    base = {
+        (r["id"], r["cluster_id"]) for r in connected_components(edges).collect()
+    }
+    reliable = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert base == reliable

@@ -72,3 +72,21 @@ def test_band_keys_deterministic(spark):
     keys0 = [a[(0, band)] for band in range(CFG.bands)]
     keys1 = [a[(1, band)] for band in range(CFG.bands)]
     assert keys0 == keys1
+
+
+def test_candidate_pairs_leaves_no_cached_blocks(spark):
+    """Regression: the skew path used to persist the banded frame and never
+    unpersist it — repeated calls accreted cached blocks for the life of the
+    session.  The operator must leave the RDD cache exactly as it found it."""
+    def persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keySet().toArray())
+
+    before = persisted_ids()
+    for i in range(3):
+        candidate_pairs(
+            _same_sig_df(spark, 200, base=i * 1000), CFG, id_col="doc_id"
+        ).count()
+    leaked = persisted_ids() - before  # other tests' blocks may be GC'd away;
+    # only NEW blocks surviving the calls count as a leak
+    assert not leaked, f"candidate_pairs leaked cached RDD ids {sorted(leaked)}"
