@@ -174,3 +174,22 @@ def sha256_expr(text: Column) -> Column:
 
 def fp64_expr(text: Column) -> Column:
     return F.conv(F.substring(F.md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def is_test_path_expr(path_col):
+    """M11: test-artifact path predicate as ONE Column expression.
+
+    Reference analog: ``_is_test_image_path``
+    (``/root/reference/modules/deduplication.py:761-774``) — which existed as
+    three divergent copies; here it is a single codegen'd predicate usable in
+    any filter/withColumn (same pattern list, case-insensitive).
+    """
+    patterns = [
+        "test_image_", "fake_image_", "dummy_image_",
+        "/tmp/", "\\tmp\\", "temp_", ".tmp",
+    ]
+    lower = F.lower(path_col)
+    pred = F.lit(False)
+    for p in patterns:
+        pred = pred | lower.contains(p)
+    return pred

@@ -46,3 +46,36 @@ def group_stats(assignments: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("size") > 1, F.col("size") - 1).otherwise(0)).cast("long").alias("n_redundant_docs"),
         F.max("size").alias("max_cluster_size"),
     )
+
+
+def group_avg_similarity(
+    assignments: DataFrame,
+    scored_pairs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """G5: per-cluster average pairwise similarity over scored pairs whose
+    BOTH endpoints are in the cluster (reference analog: the avg_similarity
+    group-stat loop, ``/root/reference/modules/deduplication.py:1397-1407``).
+
+    One row per cluster that has >= 1 in-cluster scored pair:
+    (cluster_id, n_scored_pairs, avg_similarity).  Two hash joins (pairs are
+    tiny relative to the corpus) + one groupBy on cluster_id — vs the
+    reference's O(|group|^2) python dict probing per group.
+    """
+    a = assignments.select(
+        F.col(id_col).alias("id_a"), F.col("cluster_id").alias("_ca")
+    )
+    b = assignments.select(
+        F.col(id_col).alias("id_b"), F.col("cluster_id").alias("_cb")
+    )
+    return (
+        scored_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_pairs"),
+            F.round(F.avg(sim_col), 6).alias("avg_similarity"),
+        )
+    )

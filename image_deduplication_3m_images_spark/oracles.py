@@ -441,6 +441,44 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= 5
         """,
         "embedding_topk_lsh": _signlsh_topk_sql(),
+        "brand_revenue": """
+            SELECT r_name, n_name, p_brand,
+                   count(*)::BIGINT AS n_items,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT) AS revenue_cents,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_size < 15
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, n_name, p_brand
+        """,
+        "group_avg_sim": sig_clusters
+        + f"""
+            SELECT ca.cluster_id,
+                   count(*)::BIGINT AS n_scored_pairs,
+                   round(avg(v.sig_matches::DOUBLE / {cfg.num_perm}.0), 6) AS avg_similarity
+            FROM verified v
+            JOIN clusters ca ON ca.doc_id = v.id_a
+            JOIN clusters cb ON cb.doc_id = v.id_b
+            WHERE v.verified AND ca.cluster_id = cb.cluster_id
+            GROUP BY ca.cluster_id
+        """,
+        "test_path_flags": """
+            WITH paths AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN '/tmp/doc_' || doc_id
+                     WHEN doc_id % 7 = 3 THEN 'TEMP_' || doc_id
+                     ELSE source || '/doc_' || doc_id END AS path
+              FROM documents
+            )
+            SELECT doc_id, path,
+              (contains(lower(path), 'test_image_') OR contains(lower(path), 'fake_image_')
+               OR contains(lower(path), 'dummy_image_') OR contains(lower(path), '/tmp/')
+               OR contains(lower(path), '\\tmp\\') OR contains(lower(path), 'temp_')
+               OR contains(lower(path), '.tmp')) AS is_test
+            FROM paths
+        """,
         "image_features": f"""
             WITH {_MEDIA_FEATURES_CTE.strip()}
             SELECT media_id, width, height, n_bytes, phash64 FROM feats

@@ -235,3 +235,17 @@ def run_dedupe(
 def pipeline_summary(report: DataFrame) -> dict:
     row = group_stats(report.select(ID, "cluster_id")).collect()[0].asDict()
     return row
+
+
+def export_report_csv(report: DataFrame, path: str, single_file: bool = False) -> None:
+    """S8: CSV report sink (reference analog: the duplicates/best-picks CSV
+    writer, ``/root/reference/modules/deduplication.py:1611-1672``).
+
+    Distributed writer by default (one CSV part per partition — the only
+    shape that scales); ``single_file=True`` coalesces to one part for
+    human-consumption reports, which is fine because the report is one row
+    per INPUT DOC at most, and callers asking for a single file want small
+    summaries, not the corpus.
+    """
+    out = report.coalesce(1) if single_file else report
+    out.write.mode("overwrite").option("header", True).csv(path)

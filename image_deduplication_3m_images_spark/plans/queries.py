@@ -23,7 +23,11 @@ from image_deduplication_3m_images_spark.functions.text import (
     sha256_expr,
     with_quality,
 )
-from image_deduplication_3m_images_spark.operators.best import group_stats, pick_best
+from image_deduplication_3m_images_spark.operators.best import (
+    group_avg_similarity,
+    group_stats,
+    pick_best,
+)
 from image_deduplication_3m_images_spark.operators.cluster import (
     attach_singletons,
     connected_components,
@@ -33,7 +37,11 @@ from image_deduplication_3m_images_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_block_pairs,
 )
-from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs, explode_bands
+from image_deduplication_3m_images_spark.operators.lsh import (
+    candidate_pairs,
+    explode_bands,
+    hot_bucket_stats,
+)
 from image_deduplication_3m_images_spark.operators.similarity import (
     brute_force_topk,
     signlsh_topk,
@@ -55,10 +63,20 @@ def _sig(spark, sf_dir) -> DataFrame:
     return with_signatures(_docs(spark, sf_dir), CFG)
 
 
+def _cands(spark, sf_dir, sig=None) -> DataFrame:
+    """Candidate pairs with the stats-driven fast path: compute the bucket
+    profile once (the pipeline logs it to lineage anyway) and pass it as
+    max_bucket_hint so skew-free inputs skip the 3-tier plan entirely."""
+    sig = sig if sig is not None else _sig(spark, sf_dir)
+    hint = hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"]
+    return candidate_pairs(sig, CFG, id_col="doc_id", max_bucket_hint=hint)
+
+
 # --- S1/S8 scans + G6 agg ---------------------------------------------------
 
 def q_lang_stats(spark, sf_dir):
-    """Scan + filter + aggregation with pushdown (S1 analog)."""
+    """Scan + aggregation (S1 analog); column pruning reaches the parquet
+    footer (plan-tested) — no row filter in this query by design."""
     docs = load(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
@@ -141,14 +159,14 @@ def q_lsh_bands(spark, sf_dir):
 
 
 def q_candidate_pairs(spark, sf_dir):
-    return candidate_pairs(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
+    return _cands(spark, sf_dir).select(
         "id_a", "id_b", F.col("n_bands").cast("long").alias("n_bands")
     )
 
 
 def q_verified_pairs(spark, sf_dir):
     sig = _sig(spark, sf_dir)
-    pairs = candidate_pairs(sig, CFG, id_col="doc_id")
+    pairs = _cands(spark, sf_dir, sig)
     out = verify_pairs(
         pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
     )
@@ -166,7 +184,7 @@ def q_containment_pairs(spark, sf_dir):
     """Same verdicts via the Arrow mapInPandas containment kernel (J7 UDF
     path) — the oracle checks it against SQL ``contains``."""
     sig = _sig(spark, sf_dir)
-    pairs = candidate_pairs(sig, CFG, id_col="doc_id").select("id_a", "id_b")
+    pairs = _cands(spark, sf_dir, sig).select("id_a", "id_b")
     out = verify_pairs(
         pairs.select("id_a", "id_b"),
         sig,
@@ -180,7 +198,7 @@ def q_containment_pairs(spark, sf_dir):
 
 def q_dup_clusters(spark, sf_dir):
     sig = _sig(spark, sf_dir)
-    pairs = candidate_pairs(sig, CFG, id_col="doc_id")
+    pairs = _cands(spark, sf_dir, sig)
     verified = verify_pairs(
         pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
     )
@@ -207,6 +225,57 @@ def q_group_stats(spark, sf_dir):
     return group_stats(q_dup_clusters(spark, sf_dir).withColumnRenamed("doc_id", "url"))
 
 
+def q_group_avg_sim(spark, sf_dir):
+    """G5: per-cluster average pairwise MinHash similarity (sig_matches /
+    num_perm — exact dyadic rationals, so the avg is float-order-stable)."""
+    sig = _sig(spark, sf_dir)
+    pairs = _cands(spark, sf_dir, sig)
+    verified = verify_pairs(
+        pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
+    )
+    scored = verified.where(F.col("verified")).select(
+        "id_a",
+        "id_b",
+        (F.col("sig_matches") / F.lit(float(CFG.num_perm))).alias("similarity"),
+    )
+    edges = verified.where(F.col("verified")).select("id_a", "id_b")
+    clusters = attach_singletons(
+        connected_components(edges), sig.select("doc_id"), "doc_id"
+    )
+    return group_avg_similarity(clusters, scored, id_col="doc_id")
+
+
+def q_test_path_flags(spark, sf_dir):
+    """M11: test-artifact path predicate over deterministically synthesized
+    paths (documents has no path column; the planting rule is mirrored in
+    the oracle SQL)."""
+    from image_deduplication_3m_images_spark.functions.text import (
+        is_test_path_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    path = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("/tmp/doc_"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit("TEMP_"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string")
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        is_test_path_expr(path).alias("is_test"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     return simhash_block_pairs(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -215,7 +284,7 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     sig = _sig(spark, sf_dir)
-    pairs = candidate_pairs(sig, CFG, id_col="doc_id").select("id_a", "id_b")
+    pairs = _cands(spark, sf_dir, sig).select("id_a", "id_b")
     return ngram_jaccard_pairs(_docs(spark, sf_dir), pairs, id_col="doc_id").select(
         "id_a",
         "id_b",
@@ -251,6 +320,44 @@ def q_embedding_topk_lsh(spark, sf_dir):
         multiprobe=True,
     ).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
+    )
+
+
+def q_brand_revenue(spark, sf_dir):
+    """TPC-H Q9-style mixed-join shape: big-table shuffle join (lineitem x
+    filtered part) + broadcast dims (supplier->nation->region), grouped
+    rollup.  The p_size filter is pushed to the part scan; part and the dim
+    chain are explicitly broadcast (they are small at ANY scale factor
+    relative to lineitem).  Money is summed in integer cents so the oracle
+    comparison has no float-order drift."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    snr = (
+        supp.join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region["r_regionkey"],
+        )
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).join(F.broadcast(snr), li["l_suppkey"] == F.col("s_suppkey"))
+    return joined.groupBy("r_name", "n_name", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.sum("l_quantity").alias("sum_qty"),
     )
 
 
@@ -398,4 +505,7 @@ ALL_QUERIES = {
     "image_features": q_image_features,
     "media_dedup": q_media_dedup,
     "frame_samples": q_frame_samples,
+    "group_avg_sim": q_group_avg_sim,
+    "brand_revenue": q_brand_revenue,
+    "test_path_flags": q_test_path_flags,
 }
