@@ -56,6 +56,32 @@ def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -
     )
 
 
+def _bucket_pairs_expr(ids):
+    """All (i < j) pairs from a SORTED id array as a codegen'd expression:
+    for each element x at index i, pair it with every later element.  Input
+    arrays are bounded by the tier caps, so the output per row is bounded
+    (cap=64 -> <= 2016 pairs)."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _explode_bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """(band_id, ids: sorted array) -> (band_id, band_key, id_a, id_b)."""
+    return grouped.select(
+        "band_id",
+        "band_key",
+        F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"),
+    ).select("band_id", "band_key", "p.id_a", "p.id_b")
+
+
 def candidate_pairs(
     sig_df: DataFrame,
     cfg: DedupConfig,
@@ -63,37 +89,44 @@ def candidate_pairs(
     count_bands: bool = True,
     max_bucket_hint: int | None = None,
 ) -> DataFrame:
-    """Self-join on the band key -> distinct candidate pairs (a < b).
+    """Band-bucket grouping -> distinct candidate pairs (a < b).
+
+    Physical shape: ONE shuffle of the exploded (id, band) rows into a
+    groupBy(band_id, band_key) with a size-bounded collect_list, then pairs
+    are expanded map-side by a codegen'd array expression — vs the naive
+    self-join, this halves the shuffled bytes (the exploded frame moves
+    once, not twice as both join sides) and replaces the hash-probe with
+    array iteration.  collect_list is safe ONLY because every grouped tier
+    is size-bounded (see below); the unbounded mega tier never collects.
 
     ``max_bucket_hint``: caller-supplied bucket-profile statistic (the
     pipeline computes it for lineage anyway).  When it proves no bucket
-    exceeds the star cap, the skew tiers (window + 3 branches) are skipped
-    for a single clean self-join — statistics-driven plan selection.
+    exceeds the star cap, the skew machinery is skipped entirely —
+    statistics-driven plan selection.
 
     Skew handling (the north rule's explicit requirement), three tiers by
-    bucket size (hot buckets detected with a map-side-combined groupBy whose
-    output is joined back — broadcast under AQE since only above-cap keys
-    are kept; nothing is persisted, so repeated calls leave no cached
-    blocks behind):
-      * size <= cap:                 full within-bucket pairs (a < b);
-      * cap < size <= cap*salt:      SALTED-KEY sub-bucket join — each member
-        gets a deterministic salt in [0, salt_factor); full pairs only within
-        (band, key, salt), PLUS star edges to the bucket min so cross-salt
-        connectivity is exact;
-      * size > cap*salt (mega-hot):  star edges only — O(n) edges that keep
-        every member connected for clustering.  (The reference silently
-        DROPPED pairs past its caps, deduplication.py:314-326; no tier here
-        loses a component link.)  AQE skew-join splitting applies on top.
+    bucket size (hot buckets detected with a map-side-combined groupBy of
+    (key, count, min) — tiny bytes — joined back broadcast under AQE;
+    nothing is persisted, so repeated calls leave no cached blocks behind):
+      * size <= cap:                 full within-bucket pairs (a < b),
+        collect_list bounded by cap;
+      * cap < size <= cap*salt:      SALTED-KEY sub-buckets — deterministic
+        salt in [0, salt_factor); full pairs only within (band, key, salt)
+        (collect_list bounded by the bucket cap), PLUS star edges to the
+        bucket min so cross-salt connectivity is exact;
+      * size > cap*salt (mega-hot):  star edges only — O(n) map-side edges
+        that keep every member connected for clustering; never collected.
+        (The reference silently DROPPED pairs past its caps,
+        deduplication.py:314-326; no tier here loses a component link.)
 
     Returns (id_a, id_b, n_bands) with id_a < id_b, distinct.
     """
+    flat = explode_bands(sig_df, cfg, id_col)
     if max_bucket_hint is not None and max_bucket_hint <= cfg.bucket_star_cap:
-        flat = explode_bands(sig_df, cfg, id_col)
-        fl = flat.select("band_id", "band_key", F.col(id_col).alias("id_a"))
-        fr = flat.select("band_id", "band_key", F.col(id_col).alias("id_b"))
-        pairs = fl.join(fr, ["band_id", "band_key"]).where(
-            F.col("id_a") < F.col("id_b")
+        grouped = flat.groupBy("band_id", "band_key").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
         )
+        pairs = _explode_bucket_pairs(grouped)
         if count_bands:
             return pairs.groupBy("id_a", "id_b").agg(
                 F.count_distinct("band_id").alias("n_bands")
@@ -101,16 +134,6 @@ def candidate_pairs(
         return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
     salt_max = cfg.bucket_star_cap * cfg.salt_factor
-    flat = explode_bands(sig_df, cfg, id_col)
-    # Hot-bucket stats via groupBy (map-side partial agg -> tiny shuffle of
-    # (key, count, min) triples), kept ONLY for buckets above the star cap —
-    # on a real corpus that's a handful of keys, so AQE turns the join back
-    # into a broadcast and the tiering is map-side.  This replaces the
-    # previous full window-over-the-exploded-frame + persist design, which
-    # shuffled every row and leaked cached blocks across calls (the frame
-    # was never unpersisted).  explode_bands is a pure codegen map over the
-    # (narrow) signature table, so re-deriving it per branch is cheaper than
-    # caching it.
     hot_stats = (
         flat.groupBy("band_id", "band_key")
         .agg(
@@ -122,14 +145,10 @@ def candidate_pairs(
     bands = flat.join(hot_stats, ["band_id", "band_key"], "left")
 
     small = bands.where(F.col("bucket_size").isNull())
-    left = small.select(
-        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
-    )
-    right = small.select(
-        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
-    )
-    small_pairs = left.join(right, ["band_id", "band_key"]).where(
-        F.col("id_a") < F.col("id_b")
+    small_pairs = _explode_bucket_pairs(
+        small.groupBy("band_id", "band_key").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
     )
 
     medium = bands.where(
@@ -138,15 +157,11 @@ def candidate_pairs(
         "salt",
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(cfg.salt_factor)),
     )
-    m_left = medium.select(
-        "band_id", "band_key", "salt", F.col(id_col).alias("id_a")
+    medium_pairs = _explode_bucket_pairs(
+        medium.groupBy("band_id", "band_key", "salt").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
     )
-    m_right = medium.select(
-        "band_id", "band_key", "salt", F.col(id_col).alias("id_b")
-    )
-    medium_pairs = m_left.join(m_right, ["band_id", "band_key", "salt"]).where(
-        F.col("id_a") < F.col("id_b")
-    ).select("band_id", "band_key", "id_a", "id_b")
 
     hot_pairs = (
         bands.where(
@@ -161,9 +176,7 @@ def candidate_pairs(
         )
     )
 
-    pairs = small_pairs.select("band_id", "band_key", "id_a", "id_b").unionByName(
-        medium_pairs
-    ).unionByName(hot_pairs)
+    pairs = small_pairs.unionByName(medium_pairs).unionByName(hot_pairs)
     if count_bands:
         return pairs.groupBy("id_a", "id_b").agg(
             F.count_distinct("band_id").alias("n_bands")

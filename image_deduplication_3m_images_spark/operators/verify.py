@@ -29,12 +29,24 @@ from image_deduplication_3m_images_spark.config import DedupConfig
 
 
 def join_signatures(
-    pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id", cols=("minhash", "simhash")
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    cols=("minhash", "simhash"),
+    prefilter_broadcast: bool = False,
 ) -> DataFrame:
     """Attach both sides' signatures to (id_a, id_b) pairs.
 
-    Two equi-joins on the id; at scale the signatures table is bucketed by id
-    so these become shuffle-free bucketed joins (SURVEY.md §4.2 stage 4).
+    ``prefilter_broadcast``: when the pair set is broadcast-small, semi-join
+    BOTH signature sides against the (tiny) pair-key sets map-side FIRST —
+    the corpus-sized table then never enters a shuffle; only rows that are
+    actually part of a candidate pair (a sliver of the corpus) flow into
+    the equi-joins.  Without the prefilter the second join shuffles the
+    FULL wide signatures table (text + packed minhash) across executors —
+    measured as the dominant anti-scaling term at 1M docs.  At scale the
+    alternative is bucketing the signatures table by id (SURVEY.md §4.2
+    stage 4); the semi-filter wins whenever pairs << corpus, which LSH
+    guarantees.
     """
     a = sig_df.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
@@ -42,6 +54,9 @@ def join_signatures(
     b = sig_df.select(
         F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
     )
+    if prefilter_broadcast:
+        a = a.join(F.broadcast(pairs.select("id_a").distinct()), "id_a", "leftsemi")
+        b = b.join(F.broadcast(pairs.select("id_b").distinct()), "id_b", "leftsemi")
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
@@ -77,12 +92,14 @@ def sig_matches_packed(bin_a, bin_b):
         def matches_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             import numpy as np
 
-            out = np.empty(len(a), dtype=np.int32)
-            for i, (x, y) in enumerate(zip(a, b)):
-                xa = np.frombuffer(x, dtype=">i8")
-                ya = np.frombuffer(y, dtype=">i8")
-                out[i] = int((xa == ya).sum())
-            return pd.Series(out)
+            if len(a) == 0:
+                return pd.Series(np.empty(0, dtype=np.int32))
+            # all signatures are equal-length packed buffers: concatenate
+            # into ONE (n, num_perm) view and compare the whole batch in a
+            # single vectorized pass (no per-pair Python)
+            xa = np.frombuffer(b"".join(a), dtype=">i8").reshape(len(a), -1)
+            ya = np.frombuffer(b"".join(b), dtype=">i8").reshape(len(b), -1)
+            return pd.Series((xa == ya).sum(axis=1).astype(np.int32))
 
         _MATCHES_PACKED = matches_udf
     return _MATCHES_PACKED(bin_a, bin_b)
@@ -96,6 +113,7 @@ def verify_pairs(
     texts_df: DataFrame | None = None,
     text_col: str = "text",
     use_arrow_containment: bool = False,
+    prefilter_broadcast: bool = False,
 ) -> DataFrame:
     """candidate pairs -> verified pairs with evidence columns.
 
@@ -103,6 +121,10 @@ def verify_pairs(
     — containment rescues true dups whose extra boilerplate dilutes Jaccard
     (FIXTURES.md containment pairs), mirroring how the reference's local-
     feature stage rescued crops/edits that global cosine rejected.
+
+    ``prefilter_broadcast``: see join_signatures — pass True whenever the
+    pair set is small enough to broadcast (the pipeline's byte guard
+    decides); the corpus then never shuffles.
     """
     with_text = texts_df is not None
     packed = "minhash_bin" in sig_df.columns
@@ -111,10 +133,14 @@ def verify_pairs(
         # one join per side carrying signatures AND text together — half the
         # shuffles of separate signature/text joins
         joined = join_signatures(
-            pairs, sig_df, id_col, cols=(mh_col, "simhash", text_col)
+            pairs, sig_df, id_col, cols=(mh_col, "simhash", text_col),
+            prefilter_broadcast=prefilter_broadcast,
         )
     else:
-        joined = join_signatures(pairs, sig_df, id_col, cols=(mh_col, "simhash"))
+        joined = join_signatures(
+            pairs, sig_df, id_col, cols=(mh_col, "simhash"),
+            prefilter_broadcast=prefilter_broadcast,
+        )
     if packed:
         matches = sig_matches_packed(F.col("minhash_bin_a"), F.col("minhash_bin_b"))
     else:

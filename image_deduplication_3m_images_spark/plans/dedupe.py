@@ -179,7 +179,8 @@ def run_dedupe(
     ).collect()[0]
     n_pairs = stats["n"] or 0
     est_bytes = n_pairs * ((stats["avg_id_bytes"] or 0.0) + 16)  # + per-row overhead
-    pairs_in = F.broadcast(cands) if est_bytes < 256 * 1024 * 1024 else cands
+    small_pairs = est_bytes < 256 * 1024 * 1024
+    pairs_in = F.broadcast(cands) if small_pairs else cands
     verified = stage(
         "verified_pairs",
         lambda: verify_pairs(
@@ -188,6 +189,9 @@ def run_dedupe(
             cfg,
             id_col=ID,
             texts_df=signatures.select(ID, "text"),
+            # when pairs are broadcastable, semi-filter the signatures map-
+            # side so the corpus-wide table never shuffles (see verify.py)
+            prefilter_broadcast=small_pairs,
         ),
     )
 

@@ -17,12 +17,21 @@ def get_spark(
     app_name: str = "image_deduplication_3m_images_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` (or env ``SPARK_GRAFT_MASTER``) overrides the default
+    ``local[cores]`` — pass ``local-cluster[N,C,MEM_MB]`` to run N separate
+    executor JVMs of C cores each (the multi-executor shape the scaling
+    bench measures; ``cores`` should then be the TOTAL N*C so shuffle
+    partitions and UDF warmup are sized right)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    multi_jvm = master.startswith("local-cluster")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -31,11 +40,44 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local mode puts all executor threads in the driver JVM: size the heap
         # for the box (128 GiB here), not for a remote driver — an undersized
-        # heap makes 32 threads GC-thrash and *anti*-scale
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # heap makes 32 threads GC-thrash and *anti*-scale.  In local-cluster
+        # mode executors are separate JVMs, so the driver stays small and
+        # each executor gets its own heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "8g" if multi_jvm else "48g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # checkpointed/cached block reads carry process-locality hints; the
+        # default 3s locality wait idles whole task waves on multi-executor
+        # masters when stages are seconds long.  0 = schedule immediately —
+        # every executor is on the same host here (and on a real cluster
+        # long stages make the wait irrelevant anyway).
+        .config("spark.locality.wait", "0s")
     )
+    if multi_jvm:
+        # local-cluster[n,c,mem]: each executor JVM must size its internal
+        # threadpools (GC, JIT, netty) for ITS c cores, not the host's —
+        # otherwise n JVMs x host-sized pools oversubscribe the box and
+        # anti-scale.  A real cluster gets this from the container cgroup.
+        try:
+            exec_cores = int(master.split("[")[1].split(",")[1])
+        except (IndexError, ValueError):
+            exec_cores = 4
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEMORY", "3g"),
+            )
+            .config(
+                "spark.executor.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={exec_cores}",
+            )
+            # executor Python workers must import this package; on a real
+            # cluster this is spark-submit --py-files, locally it's the repo
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     return builder.getOrCreate()
 
 

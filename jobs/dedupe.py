@@ -23,7 +23,10 @@ def main() -> None:
     ap.add_argument("--input", help="pages table path (parquet dir)")
     ap.add_argument("--fixture", type=int, default=0, help="synthesize N fixture rows instead")
     ap.add_argument("--warehouse", required=True, help="checkpoint/lineage dir")
-    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    help="TOTAL cores (threads for local[N]; N*C for local-cluster)")
+    ap.add_argument("--master", default=None,
+                    help="Spark master override, e.g. local-cluster[8,4,4096]")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -36,7 +39,7 @@ def main() -> None:
 
     from image_deduplication_3m_images_spark.session import warm_python_workers
 
-    spark = get_spark(cores=args.cores)
+    spark = get_spark(cores=args.cores, master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     # executor Python workers spin up once per executor lifetime on a real
     # cluster; pay it before the timed window here too
@@ -75,6 +78,17 @@ def main() -> None:
             "config_hash": cfg.config_hash(),
         }
     )
+    # per-stage walls straight from the lineage table (written by the stage
+    # wrapper) — the scaling harness uses these to attribute scaling loss
+    from image_deduplication_3m_images_spark.sources.checkpoint import make_catalog
+
+    lineage = make_catalog(spark, args.warehouse).lineage()
+    stage_walls = {}
+    for r in lineage.select("stage", "extra").distinct().collect():
+        w = json.loads(r["extra"]).get("wall_s")
+        if w is not None:
+            stage_walls[r["stage"]] = max(w, stage_walls.get(r["stage"], 0.0))
+    summary["stage_walls"] = stage_walls
     print(json.dumps(summary))
     spark.stop()
 

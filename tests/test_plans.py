@@ -44,7 +44,10 @@ def test_embedding_topk_pushdown_and_broadcast(spark):
 def test_candidate_pairs_no_cartesian(spark):
     plan = plan_of(Q.q_candidate_pairs(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "Join" in plan
+    # single-shuffle shape: buckets grouped (collect_list aggregate), pairs
+    # expanded map-side via explode — no self-join of the banded frame
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "Aggregate" in plan
 
 
 def test_signature_job_single_python_boundary(spark):
