@@ -71,6 +71,12 @@ def main() -> None:
         "langid",
         "fingerprint",
         "lang_stats",
+        "brand_revenue",
+        "group_avg_sim",
+        "test_path_flags",
+        "image_features",
+        "media_dedup",
+        "frame_samples",
     ]
     for name in headline:
         fn = Q.ALL_QUERIES[name]

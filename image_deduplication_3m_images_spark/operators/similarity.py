@@ -16,6 +16,7 @@ DuckDB oracle's evaluation order exactly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -91,6 +92,10 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
 def signlsh_bucket_expr(vec, planes: np.ndarray):
     """Integer bucket id: bit i = sign(vec . plane_i) >= 0.  Pure column expr
     (dot against literal arrays) so it stays in codegen.
+
+    Used for SMALL plane sets; for multi-table configs the literal
+    expression tree explodes codegen/planning time — use
+    make_signlsh_buckets_udf instead (bit-identical math).
     """
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -98,6 +103,36 @@ def signlsh_bucket_expr(vec, planes: np.ndarray):
         bit = (_dot_expr(vec, lit) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+def make_signlsh_buckets_udf(tables: list):
+    """Arrow UDF: embedding -> array of per-table bucket ids.
+
+    Bit-identical to signlsh_bucket_expr / the DuckDB oracle: the dot
+    product there is a LEFT FOLD over per-element float64 products, and
+    ``np.cumsum``'s last element reproduces exactly that sequential
+    accumulation order (unlike np.dot/np.sum, which use pairwise
+    summation and round differently).  One Arrow batch pass replaces a
+    codegen expression tree of n_tables * n_planes * dim literals, whose
+    compile time dominated the whole query.
+    """
+    planes_all = np.stack(tables)  # (T, P, D) float64
+    n_tables, n_planes, _dim = planes_all.shape
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy()).astype(np.float64)  # (N, D)
+        # products (N, T, P, D) would be large; loop tables (T is small)
+        out = np.empty((v.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            # (N, P, D) element products, left-fold sum along D via cumsum
+            prod = v[:, None, :] * planes_all[t][None, :, :]
+            dots = np.cumsum(prod, axis=2)[:, :, -1]
+            out[:, t] = ((dots >= 0) @ weights).astype(np.int64)
+        return pd.Series(list(out))
+
+    return buckets_udf
 
 
 def signlsh_topk(
@@ -125,54 +160,39 @@ def signlsh_topk(
     recall target 1-(1-p_table)**L.  Candidate fraction per query ~=
     L * probes / 2**b of the corpus.
 
-    Scale shape: the corpus is scanned ONCE map-side (per-table buckets are
-    an exploded array of structs, no re-scan per table) and NEVER shuffled —
+    Scale shape: the corpus is scanned ONCE map-side (all per-table buckets
+    come from a single Arrow UDF pass, posexploded; no re-scan per table)
+    and NEVER shuffled —
     the (small) query probe set is broadcast, so candidates are produced by
     a map-side broadcast hash join; only matched candidates flow into the
     top-k window.  Cross-table duplicate candidates are collapsed by a
     distinct on the (tiny) scored pairs.
     """
     tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    c_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tab"),
-                signlsh_bucket_expr(F.col("c_vec"), planes).alias("bucket"),
-            )
-            for t, planes in enumerate(tables)
-        ]
-    )
+    budf = make_signlsh_buckets_udf(tables)
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
-        .select("neighbor_id", "c_vec", F.explode(c_buckets).alias("tb"))
-        .select("neighbor_id", "c_vec", "tb.tab", "tb.bucket")
+        .withColumn("bkts", budf("c_vec"))
+        .select(
+            "neighbor_id", "c_vec", F.posexplode("bkts").alias("tab", "bucket")
+        )
     )
-
-    def probe_structs(t: int, planes) -> list:
-        b = signlsh_bucket_expr(F.col("q_vec"), planes)
-        out = [F.struct(F.lit(t).alias("tab"), b.alias("bucket"))]
-        if multiprobe:
-            out += [
-                F.struct(
-                    F.lit(t).alias("tab"),
-                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
-                )
-                for i in range(n_planes)
-            ]
-        return out
-
-    q_probes = F.array(
-        *[s for t, planes in enumerate(tables) for s in probe_structs(t, planes)]
-    )
-    q = F.broadcast(
+    q = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
-        .select("query_id", "q_vec", F.explode(q_probes).alias("tb"))
-        .select("query_id", "q_vec", "tb.tab", "tb.bucket")
+        .withColumn("bkts", budf("q_vec"))
+        .select("query_id", "q_vec", F.posexplode("bkts").alias("tab", "bucket"))
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select("query_id", "q_vec", "tab", F.explode(probes).alias("bucket"))
+    q = F.broadcast(q)
     scored = (
         c.join(q, ["tab", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))

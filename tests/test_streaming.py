@@ -76,3 +76,37 @@ def test_windowed_event_counts_static_equivalence(spark):
     # deterministic window boundaries
     for r in rows:
         assert r["window_start"].minute % 10 == 0
+
+
+def test_stream_dedup_exactly_once_across_restarts(spark, tmp_path):
+    """Stateful streaming dedup: each distinct text emitted once across
+    micro-batches AND restarts (state store in the checkpoint)."""
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        stream_dedup,
+    )
+
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(indir)
+    fx = generate_pages(n_rows=150, seed=7)
+    pages = pages_dataframe(spark, fx).cache()
+    n_distinct = pages.select("text").distinct().count()
+    assert n_distinct < fx.n_rows  # fixture plants exact duplicates
+
+    pages.write.mode("append").parquet(indir)
+    q = stream_dedup(spark, indir, outdir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(outdir)
+    assert got1.count() == n_distinct
+    assert got1.select("text_sha256").distinct().count() == n_distinct
+
+    # restart with the SAME rows re-appended as new files: state store must
+    # suppress every one of them (exactly-once across restarts)
+    pages.write.mode("append").parquet(indir)
+    q2 = stream_dedup(spark, indir, outdir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(outdir)
+    assert got2.count() == n_distinct
