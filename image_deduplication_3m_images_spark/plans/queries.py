@@ -63,12 +63,20 @@ def _sig(spark, sf_dir) -> DataFrame:
     return with_signatures(_docs(spark, sf_dir), CFG)
 
 
+_HINT_CACHE: dict[str, int] = {}
+
+
 def _cands(spark, sf_dir, sig=None) -> DataFrame:
     """Candidate pairs with the stats-driven fast path: compute the bucket
     profile once (the pipeline logs it to lineage anyway) and pass it as
-    max_bucket_hint so skew-free inputs skip the 3-tier plan entirely."""
+    max_bucket_hint so skew-free inputs skip the 3-tier plan entirely.
+    The profile is memoized per sf_dir — the testdata is immutable, and
+    several catalog queries share the same candidate stage."""
     sig = sig if sig is not None else _sig(spark, sf_dir)
-    hint = hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"]
+    hint = _HINT_CACHE.get(sf_dir)
+    if hint is None:
+        hint = hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"]
+        _HINT_CACHE[sf_dir] = hint
     return candidate_pairs(sig, CFG, id_col="doc_id", max_bucket_hint=hint)
 
 

@@ -59,3 +59,17 @@ def test_signature_job_single_python_boundary(spark):
 
     ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
     assert len(ids) == 1, f"expected one fused Python boundary, got {ids}"
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A lang-partitioned copy of documents must show PartitionFilters in
+    the scan when filtered on the partition column — the physical shape the
+    10^12-doc table relies on (scan only the relevant partitions)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    part_path = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(part_path)
+    filtered = spark.read.parquet(part_path).where("lang = 'en'").select("doc_id")
+    plan = plan_of(filtered)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1500]
+    n_en = docs.where("lang = 'en'").count()
+    assert filtered.count() == n_en
