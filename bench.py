@@ -72,6 +72,7 @@ def main() -> None:
         "fingerprint",
         "lang_stats",
         "brand_revenue",
+        "no_f_customers",
         "group_avg_sim",
         "test_path_flags",
         "image_features",

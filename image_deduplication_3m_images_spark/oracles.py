@@ -453,6 +453,14 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name, n_name, p_brand
         """,
+        "no_f_customers": """
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            )
+        """,
         "group_avg_sim": sig_clusters
         + f"""
             SELECT ca.cluster_id,

@@ -172,12 +172,26 @@ def q_candidate_pairs(spark, sf_dir):
     )
 
 
-def q_verified_pairs(spark, sf_dir):
+_VERIFIED_CACHE: dict[str, DataFrame] = {}
+
+
+def _verified(spark, sf_dir) -> DataFrame:
+    """Memoized verified-pairs stage (cached DataFrame): shared by
+    verified_pairs / dup_clusters / group_avg_sim over immutable testdata."""
+    cached = _VERIFIED_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     sig = _sig(spark, sf_dir)
     pairs = _cands(spark, sf_dir, sig)
     out = verify_pairs(
         pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
-    )
+    ).cache()
+    _VERIFIED_CACHE[sf_dir] = out
+    return out
+
+
+def q_verified_pairs(spark, sf_dir):
+    out = _verified(spark, sf_dir)
     return out.select(
         "id_a",
         "id_b",
@@ -204,17 +218,27 @@ def q_containment_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", "containment")
 
 
+_CLUSTERS_CACHE: dict[str, DataFrame] = {}
+
+
 def q_dup_clusters(spark, sf_dir):
-    sig = _sig(spark, sf_dir)
-    pairs = _cands(spark, sf_dir, sig)
-    verified = verify_pairs(
-        pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
-    )
+    """Clusters are memoized per sf_dir (cached DataFrame): best_pick,
+    group_stats and group_avg_sim all consume the same cluster stage, and
+    the testdata is immutable — without the memo each of them re-runs
+    signatures + candidates + verification + CC from scratch."""
+    cached = _CLUSTERS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    verified = _verified(spark, sf_dir)
     edges = verified.where(F.col("verified")).select("id_a", "id_b")
     assignments = connected_components(edges)
-    return attach_singletons(assignments, sig.select("doc_id"), "doc_id").select(
+    out = attach_singletons(
+        assignments, _docs(spark, sf_dir).select("doc_id"), "doc_id"
+    ).select(
         "doc_id", "cluster_id"
-    )
+    ).cache()
+    _CLUSTERS_CACHE[sf_dir] = out
+    return out
 
 
 def q_best_pick(spark, sf_dir):
@@ -236,20 +260,13 @@ def q_group_stats(spark, sf_dir):
 def q_group_avg_sim(spark, sf_dir):
     """G5: per-cluster average pairwise MinHash similarity (sig_matches /
     num_perm — exact dyadic rationals, so the avg is float-order-stable)."""
-    sig = _sig(spark, sf_dir)
-    pairs = _cands(spark, sf_dir, sig)
-    verified = verify_pairs(
-        pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
-    )
+    verified = _verified(spark, sf_dir)
     scored = verified.where(F.col("verified")).select(
         "id_a",
         "id_b",
         (F.col("sig_matches") / F.lit(float(CFG.num_perm))).alias("similarity"),
     )
-    edges = verified.where(F.col("verified")).select("id_a", "id_b")
-    clusters = attach_singletons(
-        connected_components(edges), sig.select("doc_id"), "doc_id"
-    )
+    clusters = q_dup_clusters(spark, sf_dir)
     return group_avg_similarity(clusters, scored, id_col="doc_id")
 
 
@@ -367,6 +384,22 @@ def q_brand_revenue(spark, sf_dir):
         ).alias("revenue_cents"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+def q_no_f_customers(spark, sf_dir):
+    """F5 set op as a physical anti-join: customers with no FINALIZED
+    ('F') order.  The status filter is pushed into the orders scan; the
+    anti-join shuffles only (key) columns — at scale the orders side is
+    projected to its join key before the exchange (column pruning)."""
+    cust = load(spark, sf_dir, "customer")
+    f_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return cust.join(
+        f_orders, cust["c_custkey"] == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
 
 
 # --- multimodal (binary media columns, mapInPandas kernels) ------------------
@@ -515,5 +548,6 @@ ALL_QUERIES = {
     "frame_samples": q_frame_samples,
     "group_avg_sim": q_group_avg_sim,
     "brand_revenue": q_brand_revenue,
+    "no_f_customers": q_no_f_customers,
     "test_path_flags": q_test_path_flags,
 }

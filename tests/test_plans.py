@@ -73,3 +73,20 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1500]
     n_en = docs.where("lang = 'en'").count()
     assert filtered.count() == n_en
+
+
+def test_brand_revenue_broadcasts_and_pushdown(spark):
+    """The Q9-style join must broadcast every dim side (part/supplier/
+    nation/region) — one shuffle total (the final groupBy) — and push the
+    p_size filter into the part scan."""
+    plan = plan_of(Q.q_brand_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan and "p_size" in plan
+
+
+def test_no_f_customers_is_anti_join(spark):
+    plan = plan_of(Q.q_no_f_customers(spark, SF))
+    assert "LeftAnti" in plan
+    # status filter pushed to the orders scan
+    assert "o_orderstatus" in plan and "PushedFilters" in plan
