@@ -461,6 +461,25 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
             )
         """,
+        "user_sessions": """
+            WITH x AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS s
+              FROM x
+            )
+            SELECT user_id, s::INT AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::INT AS n_events,
+                   sum(round(value * 100, 0)::BIGINT) AS value_cents
+            FROM y GROUP BY user_id, s
+        """,
         "group_avg_sim": sig_clusters
         + f"""
             SELECT ca.cluster_id,

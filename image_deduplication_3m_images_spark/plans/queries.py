@@ -348,6 +348,35 @@ def q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch form): per user, events closer than
+    30 minutes belong to one session.  One window pass (lag + running sum
+    over the same partitioning — a single shuffle on user_id) + one groupBy
+    that reuses the partitioning.  Money-safe: value summed in cents.
+    The streaming twin is streaming.incremental.sessionize_stream
+    (applyInPandasWithState); this batch form is its DuckDB-checkable
+    semantics contract."""
+    gap_us = 30 * 60 * 1_000_000
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC so the cast is the
+    # identity, and the gap difference is TZ-invariant regardless
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = (
+        F.lag(mic).over(w).isNull() | ((mic - F.lag(mic).over(w)) > gap_us)
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = events.withColumn("s", F.sum(new_s).over(run))
+    return sessions.groupBy("user_id", F.col("s").cast("int").alias("session_idx")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     """TPC-H Q9-style mixed-join shape: big-table shuffle join (lineitem x
     filtered part) + broadcast dims (supplier->nation->region), grouped
@@ -549,5 +578,6 @@ ALL_QUERIES = {
     "group_avg_sim": q_group_avg_sim,
     "brand_revenue": q_brand_revenue,
     "no_f_customers": q_no_f_customers,
+    "user_sessions": q_user_sessions,
     "test_path_flags": q_test_path_flags,
 }

@@ -99,6 +99,102 @@ def stream_dedup(
     return writer.start()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp_ntz, session_end timestamp_ntz,"
+    " n_events int, value_cents long"
+)
+_SESSION_STATE_SCHEMA = "last_us long, start_us long, n_events int, value_cents long"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    trigger_available_now: bool = True,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based per-user sessionization.  Emits a session row when a user's
+    next event arrives more than ``gap_minutes`` after their previous one;
+    the open session (last_ts, start, counts) lives in the state store, so
+    sessions CLOSE CORRECTLY ACROSS micro-batches and restarts.
+
+    Semantics contract: identical to the batch query
+    ``plans.queries.q_user_sessions`` (window lag + running sum), except the
+    stream only emits CLOSED sessions — each user's final, still-open
+    session stays in state (the test asserts exactly this equivalence).
+    State is 4 scalars per user, independent of event volume.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    events_schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    stream = spark.readStream.schema(events_schema).parquet(input_dir)
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        user_id = int(key[0])
+        ev = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # HALF_UP on the same double Spark's round() sees (values positive)
+        cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+        if state.exists:
+            last_us, start_us, n, tot = state.get
+        else:
+            last_us = start_us = None
+            n, tot = 0, 0
+        closed = []
+        for u, c in zip(us.tolist(), cents.tolist()):
+            if last_us is not None and u - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n, tot))
+                start_us, n, tot = u, 0, 0
+            if start_us is None:
+                start_us = u
+            last_us = u
+            n += 1
+            tot += c
+        state.update((last_us, start_us, n, tot))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "value_cents",
+                ],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    sessions = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 minute",

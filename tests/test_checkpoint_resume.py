@@ -94,3 +94,24 @@ def test_extraction_audit_runs(spark, tmp_path):
     audit = cat.lineage().where(F.col("stage") == "extraction_audit").collect()
     assert len(audit) == 1
     assert '"mismatched_rows": 0' in audit[0]["extra"]
+
+
+def test_corrupted_stage_recomputes_not_resumes(spark, tmp_path):
+    """S10 robustness: a stage directory whose _SUCCESS marker is gone (torn
+    write, manual tampering) must NOT be resumed — the stage recomputes and
+    the run still produces the identical report."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    fx = generate_pages(n_rows=150, seed=21)
+    pages = pages_dataframe(spark, fx).cache()
+    r1 = sorted(
+        (r["url"], r["cluster_id"]) for r in run_dedupe(spark, pages, wh, DedupConfig()).collect()
+    )
+    os.remove(os.path.join(wh, "candidate_pairs", "_SUCCESS"))
+    r2 = sorted(
+        (r["url"], r["cluster_id"]) for r in run_dedupe(spark, pages, wh, DedupConfig()).collect()
+    )
+    assert r1 == r2
+    # the marker is back: the stage was rewritten, not trusted as-is
+    assert os.path.exists(os.path.join(wh, "candidate_pairs", "_SUCCESS"))

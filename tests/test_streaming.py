@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.sources.pages_fixture import (
@@ -110,3 +111,53 @@ def test_stream_dedup_exactly_once_across_restarts(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = spark.read.parquet(outdir)
     assert got2.count() == n_distinct
+
+
+def test_sessionize_stream_matches_batch_across_restarts(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted across
+    TWO micro-batch runs (restart in between) must equal the batch
+    sessionization of the full data minus each user's final open session."""
+    from image_deduplication_3m_images_spark.plans.queries import q_user_sessions
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        sessionize_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    cutoff = events.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5)"
+    ).collect()[0][0]
+
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(indir)
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = events.where(mic <= cutoff)
+    second = events.where(mic > cutoff)
+    assert first.count() > 0 and second.count() > 0
+
+    first.coalesce(1).write.mode("append").parquet(indir)
+    q = sessionize_stream(spark, indir, outdir, ckpt)
+    q.awaitTermination(120)
+    second.coalesce(1).write.mode("append").parquet(indir)
+    q2 = sessionize_stream(spark, indir, outdir, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["value_cents"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    batch = q_user_sessions(spark, sf)
+    w_last = Window.partitionBy("user_id").orderBy(F.col("session_idx").desc())
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["value_cents"])
+        for r in batch.withColumn("rn", F.row_number().over(w_last))
+        .where("rn > 1")  # drop each user's final (still-open) session
+        .collect()
+    }
+    assert got == expected
