@@ -90,3 +90,27 @@ def test_no_f_customers_is_anti_join(spark):
     assert "LeftAnti" in plan
     # status filter pushed to the orders scan
     assert "o_orderstatus" in plan and "PushedFilters" in plan
+
+
+def test_verify_prefilter_semi_joins_before_equijoin(spark):
+    """With prefilter_broadcast the corpus-sized signatures table must be
+    reduced by broadcast LEFT SEMI joins BEFORE the pair equi-joins — the
+    full table never enters an exchange."""
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.functions.signatures import (
+        with_signatures,
+    )
+    from image_deduplication_3m_images_spark.operators.verify import verify_pairs
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    sig = with_signatures(docs, DedupConfig())
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], ["id_a", "id_b"])
+    out = verify_pairs(
+        F.broadcast(pairs), sig, DedupConfig(), id_col="doc_id",
+        texts_df=docs, prefilter_broadcast=True,
+    )
+    plan = plan_of(out)
+    assert plan.count("LeftSemi") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan  # everything broadcast/map-side here
