@@ -73,6 +73,7 @@ def main() -> None:
         "lang_stats",
         "brand_revenue",
         "no_f_customers",
+        "user_sessions",
         "group_avg_sim",
         "test_path_flags",
         "image_features",
