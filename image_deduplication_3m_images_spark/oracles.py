@@ -444,7 +444,7 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
         "brand_revenue": """
             SELECT r_name, n_name, p_brand,
                    count(*)::BIGINT AS n_items,
-                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT) AS revenue_cents,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
                    sum(l_quantity) AS sum_qty
             FROM lineitem
             JOIN part ON p_partkey = l_partkey AND p_size < 15
@@ -477,7 +477,7 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT user_id, s::INT AS session_idx,
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*)::INT AS n_events,
-                   sum(round(value * 100, 0)::BIGINT) AS value_cents
+                   sum(round(value * 100, 0)::BIGINT)::BIGINT AS value_cents
             FROM y GROUP BY user_id, s
         """,
         "group_avg_sim": sig_clusters

@@ -378,12 +378,18 @@ def q_user_sessions(spark, sf_dir):
 
 
 def q_brand_revenue(spark, sf_dir):
-    """TPC-H Q9-style mixed-join shape: big-table shuffle join (lineitem x
-    filtered part) + broadcast dims (supplier->nation->region), grouped
-    rollup.  The p_size filter is pushed to the part scan; part and the dim
-    chain are explicitly broadcast (they are small at ANY scale factor
-    relative to lineitem).  Money is summed in integer cents so the oracle
-    comparison has no float-order drift."""
+    """TPC-H Q9-style mixed-join shape: big-table join (lineitem x filtered
+    part) + broadcast dims (supplier->nation->region), grouped rollup.  The
+    p_size filter is pushed to the part scan.  The part side carries NO
+    explicit broadcast hint: *relative* smallness vs lineitem does not bound
+    *absolute* bytes (at sf10k the filtered part is tens of GB), so the
+    join strategy is left to Catalyst/AQE's byte-based size guard — at
+    small SF the parquet stats make it a broadcast join for free, at large
+    SF it degrades safely to a shuffle join.  Same for the supplier-sized
+    snr chain (supplier is SF x 10k rows — multi-GB at sf10k); only
+    nation/region (25/5 rows, bounded by geography) keep explicit hints.
+    Money is summed in integer cents so the oracle comparison has no
+    float-order drift."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(F.col("p_size") < 15)
     supp = load(spark, sf_dir, "supplier")
@@ -401,9 +407,9 @@ def q_brand_revenue(spark, sf_dir):
         .select("s_suppkey", "n_name", "r_name")
     )
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
+        part.select("p_partkey", "p_brand"),
         li["l_partkey"] == F.col("p_partkey"),
-    ).join(F.broadcast(snr), li["l_suppkey"] == F.col("s_suppkey"))
+    ).join(snr, li["l_suppkey"] == F.col("s_suppkey"))
     return joined.groupBy("r_name", "n_name", "p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(

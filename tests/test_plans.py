@@ -77,12 +77,27 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
 
 def test_brand_revenue_broadcasts_and_pushdown(spark):
     """The Q9-style join must broadcast every dim side (part/supplier/
-    nation/region) — one shuffle total (the final groupBy) — and push the
-    p_size filter into the part scan."""
-    plan = plan_of(Q.q_brand_revenue(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
-    assert "SortMergeJoin" not in plan
+    nation/region) at fixture scale — one shuffle total (the final groupBy)
+    — and push the p_size filter into the part scan.  Crucially the part
+    and supplier sides must be broadcast by Catalyst's byte-based size
+    guard, NOT by an unconditional hint (VERDICT r2 item 3): only the
+    geography-bounded nation/region joins may carry explicit hints, so at
+    sf10k the multi-GB sides degrade to shuffle joins instead of OOMing."""
+    df = Q.q_brand_revenue(spark, SF)
+    plan = plan_of(df)
     assert "PushedFilters: [" in plan and "p_size" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    assert n_hints == 2, f"expected hints only on nation/region, got {n_hints}"
+    # The unhinted sides are broadcast by AQE's runtime size stats, not the
+    # static estimate (join-output estimates overshoot) — so assert on the
+    # FINAL adaptive plan after an action, which is what actually executed.
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    final = executed.split("Initial Plan")[0]  # drop the appended pre-AQE plan
+    assert final.count("BroadcastHashJoin") >= 4, final[:2000]
+    assert "SortMergeJoin" not in final
 
 
 def test_no_f_customers_is_anti_join(spark):

@@ -1,6 +1,14 @@
 """Local mirror of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at a given sf dir, compare row count,
-column names, and order-insensitive value hash.
+column names, per-column TYPES, and order-insensitive value hash.
+
+The type check is the driver-faithful part (VERDICT round 2, item 2): the
+driver hashes typed Arrow columns, so a DuckDB HUGEINT (``sum(BIGINT)``)
+diverges from a Spark BIGINT even when every value is identical. Python
+``fetchall()`` silently converts both to ``int`` and hides that class of
+failure, so we additionally fetch the oracle result as an Arrow table and
+assert each column's canonical type equals the Spark column's canonical
+type — a mismatch is a FAIL here exactly as it is in CORRECTNESS_r{N}.json.
 
 Usage: python tools/parity_check.py [sf_dir] [query ...]
 """
@@ -35,6 +43,74 @@ def norm_cell(v):
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return str(v)
+
+
+def canon_arrow_type(t):
+    """Canonical type string for a pyarrow DataType.
+
+    DuckDB HUGEINT arrives as decimal128(38, 0) — deliberately NOT collapsed
+    to int64, so an oracle missing an outer ::BIGINT cast fails loudly here.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+_SPARK_CANON = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "bool",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+}
+
+
+def canon_spark_type(s):
+    """Canonical type string for a Spark simpleString dtype."""
+    if s in _SPARK_CANON:
+        return _SPARK_CANON[s]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal"):
+        return s.replace(" ", "")
+    if s.startswith("array<") and s.endswith(">"):
+        return f"list<{canon_spark_type(s[6:-1])}>"
+    return s
+
+
+def type_mismatches(sdf, arrow_tbl):
+    """[(col, spark_type, duck_type)] where canonical types differ."""
+    duck = {f.name: canon_arrow_type(f.type) for f in arrow_tbl.schema}
+    out = []
+    for name, dtype in sdf.dtypes:
+        st = canon_spark_type(dtype)
+        dt = duck.get(name)
+        if dt is not None and st != dt:
+            out.append((name, st, dt))
+    return out
 
 
 def table_hash(cols, rows):
@@ -96,23 +172,27 @@ def main():
             continue
         try:
             res = con.execute(omap[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = res.fetch_arrow_table()
+            dcols = atbl.column_names
+            drows = [[r[c] for c in dcols] for r in atbl.to_pylist()]
         except Exception as e:
             print(f"{name:24s} ORACLE SQL ERROR: {e}")
             failures.append(name)
             continue
         ok_cols = sorted(scols) == sorted(dcols)
+        bad_types = type_mismatches(sdf, atbl) if ok_cols else []
+        ok_types = not bad_types
         ok_count = len(srows) == len(drows)
         sh = table_hash(scols, [[r[c] for c in scols] for r in srows])
         dh = table_hash(dcols, drows)
         ok_hash = sh == dh
-        status = "OK" if (ok_cols and ok_count and ok_hash) else "FAIL"
+        status = "OK" if (ok_cols and ok_types and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(
             f"{name:24s} {status}  rows {len(srows)}/{len(drows)}"
             f" cols={'=' if ok_cols else f'{scols} vs {dcols}'}"
+            f" types={'=' if ok_types else bad_types}"
             f" hash={'=' if ok_hash else f'{sh} vs {dh}'}"
         )
     spark.stop()
