@@ -54,18 +54,24 @@ def hamming_block_pairs(
     MinHash band join; hot chunks (e.g. all-zero hashes) are bounded by the
     chunk width, and the distinct runs on the (small) matched pairs only.
     """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
     n_chunks = radius + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    chunks = F.array(
-        *[
-            # last chunk takes the remaining high bits so all 64 are covered
-            F.shiftright(F.col(hash_col), width * i).bitwiseAND(
-                F.lit((1 << (64 - width * i)) - 1 if i == n_chunks - 1 else mask)
-            )
-            for i in range(n_chunks)
-        ]
-    )
+
+    def chunk_expr(i: int):
+        # last chunk takes the remaining high bits so all 64 are covered
+        bits = 64 - width * i if i == n_chunks - 1 else width
+        shifted = F.shiftright(F.col(hash_col), width * i)
+        if bits >= 64:
+            # radius=0 degenerate case: the single chunk is the whole hash.
+            # (1<<64)-1 overflows LongType; the all-ones long is -1, and
+            # masking with it is the identity — skip it.
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
+    chunks = F.array(*[chunk_expr(i) for i in range(n_chunks)])
     blocks = df.select(
         F.col(id_col), F.col(hash_col).alias("h"),
         F.posexplode(chunks).alias("chunk_id", "chunk"),

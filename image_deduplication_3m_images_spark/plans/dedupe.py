@@ -15,7 +15,6 @@ resumes from the last completed stage iff the config hash matches
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -33,6 +32,7 @@ from image_deduplication_3m_images_spark.operators.cluster import (
 )
 from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs, hot_bucket_stats
 from image_deduplication_3m_images_spark.operators.verify import verify_pairs
+from image_deduplication_3m_images_spark.session import hadoop_delete
 from image_deduplication_3m_images_spark.sources.checkpoint import make_catalog
 
 ID = "url"
@@ -223,11 +223,17 @@ def run_dedupe(
         None if master.startswith("local[") or master == "local"
         else os.path.join(warehouse, "_cc_checkpoints")
     )
+    if cc_ckpt_dir:
+        # a prior failed/killed run may have left checkpoint files behind
+        # (cleanup below only runs on success) — clear them before starting
+        hadoop_delete(spark, cc_ckpt_dir)
     clusters = stage("clusters", _clusters)
     if cc_ckpt_dir:
         # the clusters table is committed to the catalog by now; the CC
-        # checkpoint files have served their purpose
-        shutil.rmtree(cc_ckpt_dir, ignore_errors=True)
+        # checkpoint files have served their purpose.  Hadoop FS API, not
+        # shutil: the warehouse is hdfs://s3a:// on a real cluster and
+        # rmtree would silently no-op there (VERDICT r2 item 7).
+        hadoop_delete(spark, cc_ckpt_dir)
 
     report = stage(
         "report",

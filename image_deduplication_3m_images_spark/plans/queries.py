@@ -63,20 +63,38 @@ def _sig(spark, sf_dir) -> DataFrame:
     return with_signatures(_docs(spark, sf_dir), CFG)
 
 
-_HINT_CACHE: dict[str, int] = {}
+# Memoized per (live session, sf_dir): catalog queries share expensive
+# stages over immutable testdata, but a cached DataFrame is bound to ITS
+# SparkSession — after spark.stop()/restart in one process the old handles
+# are dead.  Keyed by applicationId; on a new app the whole memo is dropped
+# (the old session's cached blocks died with its executors, so there is
+# nothing left to unpersist).
+_MEMO: dict[tuple, object] = {}
+_MEMO_APP: list[str] = []
+
+
+def _memo(spark, key: tuple, build):
+    app = spark.sparkContext.applicationId
+    if _MEMO_APP != [app]:
+        _MEMO.clear()
+        _MEMO_APP[:] = [app]
+    if key not in _MEMO:
+        _MEMO[key] = build()
+    return _MEMO[key]
 
 
 def _cands(spark, sf_dir, sig=None) -> DataFrame:
     """Candidate pairs with the stats-driven fast path: compute the bucket
     profile once (the pipeline logs it to lineage anyway) and pass it as
     max_bucket_hint so skew-free inputs skip the 3-tier plan entirely.
-    The profile is memoized per sf_dir — the testdata is immutable, and
-    several catalog queries share the same candidate stage."""
+    The profile is memoized per (session, sf_dir) — the testdata is
+    immutable, and several catalog queries share the same candidate stage."""
     sig = sig if sig is not None else _sig(spark, sf_dir)
-    hint = _HINT_CACHE.get(sf_dir)
-    if hint is None:
-        hint = hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"]
-        _HINT_CACHE[sf_dir] = hint
+    hint = _memo(
+        spark,
+        ("hint", sf_dir),
+        lambda: hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"],
+    )
     return candidate_pairs(sig, CFG, id_col="doc_id", max_bucket_hint=hint)
 
 
@@ -172,22 +190,18 @@ def q_candidate_pairs(spark, sf_dir):
     )
 
 
-_VERIFIED_CACHE: dict[str, DataFrame] = {}
-
-
 def _verified(spark, sf_dir) -> DataFrame:
     """Memoized verified-pairs stage (cached DataFrame): shared by
     verified_pairs / dup_clusters / group_avg_sim over immutable testdata."""
-    cached = _VERIFIED_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
-    sig = _sig(spark, sf_dir)
-    pairs = _cands(spark, sf_dir, sig)
-    out = verify_pairs(
-        pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
-    ).cache()
-    _VERIFIED_CACHE[sf_dir] = out
-    return out
+
+    def build():
+        sig = _sig(spark, sf_dir)
+        pairs = _cands(spark, sf_dir, sig)
+        return verify_pairs(
+            pairs, sig, CFG, id_col="doc_id", texts_df=_docs(spark, sf_dir)
+        ).cache()
+
+    return _memo(spark, ("verified", sf_dir), build)
 
 
 def q_verified_pairs(spark, sf_dir):
@@ -218,27 +232,21 @@ def q_containment_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", "containment")
 
 
-_CLUSTERS_CACHE: dict[str, DataFrame] = {}
-
-
 def q_dup_clusters(spark, sf_dir):
-    """Clusters are memoized per sf_dir (cached DataFrame): best_pick,
-    group_stats and group_avg_sim all consume the same cluster stage, and
-    the testdata is immutable — without the memo each of them re-runs
-    signatures + candidates + verification + CC from scratch."""
-    cached = _CLUSTERS_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
-    verified = _verified(spark, sf_dir)
-    edges = verified.where(F.col("verified")).select("id_a", "id_b")
-    assignments = connected_components(edges)
-    out = attach_singletons(
-        assignments, _docs(spark, sf_dir).select("doc_id"), "doc_id"
-    ).select(
-        "doc_id", "cluster_id"
-    ).cache()
-    _CLUSTERS_CACHE[sf_dir] = out
-    return out
+    """Clusters are memoized per (session, sf_dir) (cached DataFrame):
+    best_pick, group_stats and group_avg_sim all consume the same cluster
+    stage, and the testdata is immutable — without the memo each of them
+    re-runs signatures + candidates + verification + CC from scratch."""
+
+    def build():
+        verified = _verified(spark, sf_dir)
+        edges = verified.where(F.col("verified")).select("id_a", "id_b")
+        assignments = connected_components(edges)
+        return attach_singletons(
+            assignments, _docs(spark, sf_dir).select("doc_id"), "doc_id"
+        ).select("doc_id", "cluster_id").cache()
+
+    return _memo(spark, ("clusters", sf_dir), build)
 
 
 def q_best_pick(spark, sf_dir):

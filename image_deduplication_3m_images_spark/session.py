@@ -81,6 +81,23 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def hadoop_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` via the Hadoop FileSystem API.
+
+    Unlike ``shutil.rmtree`` this resolves the path's scheme (``file:``,
+    ``hdfs:``, ``s3a:``...) against the session's Hadoop conf, so cleanup of
+    warehouse-backed scratch dirs (e.g. CC reliable checkpoints) works on a
+    real cluster's distributed storage instead of silently no-opping.
+    Returns True iff the path existed and was deleted.
+    """
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        return bool(fs.delete(hpath, True))
+    return False
+
+
 def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
     """Spin up the executor-side Python UDF workers once, before timing.
 

@@ -125,6 +125,16 @@ def sessionize_stream(
     stream only emits CLOSED sessions — each user's final, still-open
     session stays in state (the test asserts exactly this equivalence).
     State is 4 scalars per user, independent of event volume.
+
+    Late data: WITHIN a micro-batch events may arrive in any order (sorted
+    here before processing), but an event whose ts is OLDER than the user's
+    state frontier (``last_us``, the newest event already processed in a
+    prior batch) is DROPPED — it may belong to a session that already
+    closed and was emitted, so retroactively applying it would corrupt
+    session boundaries.  This is the same contract a watermark gives a
+    windowed agg: batch-equivalence holds exactly for input that is
+    per-user ordered ACROSS micro-batches (the file-source default when
+    files land in event order).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -151,6 +161,13 @@ def sessionize_stream(
         else:
             last_us = start_us = None
             n, tot = 0, 0
+        if last_us is not None:
+            # cross-batch late arrivals: older than the state frontier ->
+            # drop (see docstring); np.searchsorted on the sorted array
+            # finds the cut without a python loop
+            cut = int(np.searchsorted(us, last_us, side="left"))
+            if cut:
+                us, cents = us[cut:], cents[cut:]
         closed = []
         for u, c in zip(us.tolist(), cents.tolist()):
             if last_us is not None and u - last_us > gap_us:
@@ -187,6 +204,156 @@ def sessionize_stream(
     writer = (
         sessions.writeStream.format("parquet")
         .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) -> None:
+    """One incremental near-dup step over the checkpoint catalog (the
+    ``foreachBatch`` body of :func:`stream_neardup`; exposed separately so
+    batch tests and backfills can drive it directly).
+
+    Work per batch is proportional to (new docs x matched buckets) plus CC
+    over the accumulated EDGE set — never to the corpus size:
+
+    1. sign the new pages (same ``build_signatures`` as the batch pipeline —
+       one code path),
+    2. band them and join against the checkpointed ``bands`` table; the new
+       side is tiny, so it broadcasts and the corpus bands scan map-side
+       (no corpus shuffle).  Every emitted pair touches >= 1 new doc, so no
+       pair is ever re-verified across batches,
+    3. verify with the same evidence exprs (signatures semi-filtered by the
+       broadcast pair set when the byte guard allows),
+    4. append new signatures/bands/edges and re-run connected_components
+       over old+new edges, overwriting ``clusters`` — a duplicate arriving
+       in a later batch lands in its existing cluster (reference analog:
+       the resume loop re-running dedup over new blobs,
+       ``/root/reference/pipeline.py:464-471``).
+
+    Exactly-once: ``foreachBatch`` is at-least-once, so each completed batch
+    id is recorded in ``_batches`` and a replay of a completed batch is a
+    no-op.  A crash mid-batch may leave partial appends; the replay then
+    re-appends, and ``dropDuplicates`` on read (signatures/bands by natural
+    key, edges by pair) makes that harmless.
+    """
+    from pyspark.sql import functions as F
+
+    from image_deduplication_3m_images_spark.operators.cluster import (
+        attach_singletons,
+        connected_components,
+    )
+    from image_deduplication_3m_images_spark.operators.lsh import explode_bands
+    from image_deduplication_3m_images_spark.operators.verify import verify_pairs
+    from image_deduplication_3m_images_spark.plans.dedupe import ID, build_signatures
+
+    if cat.exists("_batches"):
+        done = {r["batch_id"] for r in cat.read("_batches").collect()}
+        if batch_id in done:
+            return
+
+    sig_new = (
+        build_signatures(batch_df, cfg)
+        .withColumn("batch_id", F.lit(batch_id))
+        .localCheckpoint(eager=True)  # used 4x below; batch-sized, not corpus-sized
+    )
+    bands_new = explode_bands(sig_new.select(ID, "band_keys_bin"), cfg, id_col=ID)
+
+    has_old = cat.exists("signatures")
+    if has_old:
+        sig_all = cat.read("signatures").dropDuplicates([ID]).unionByName(sig_new)
+        bands_all = (
+            cat.read("bands")
+            .select(ID, "band_id", "band_key")
+            .dropDuplicates([ID, "band_id"])
+            .unionByName(bands_new)
+        )
+    else:
+        sig_all, bands_all = sig_new, bands_new
+
+    pairs = (
+        F.broadcast(bands_new.select("band_id", "band_key", F.col(ID).alias("id_n")))
+        .join(
+            bands_all.select("band_id", "band_key", F.col(ID).alias("id_o")),
+            ["band_id", "band_key"],
+        )
+        .where(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # same byte guard as the batch pipeline: broadcast the pair set (so the
+    # corpus-wide signatures never shuffle) unless a pathological band
+    # explosion makes it large
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length("id_a") + F.length("id_b")).alias("avg_id_bytes"),
+    ).collect()[0]
+    est_bytes = (stats["n"] or 0) * ((stats["avg_id_bytes"] or 0.0) + 16)
+    small_pairs = est_bytes < 256 * 1024 * 1024
+    verified = verify_pairs(
+        F.broadcast(pairs) if small_pairs else pairs,
+        sig_all,
+        cfg,
+        id_col=ID,
+        texts_df=sig_all.select(ID, "text"),
+        prefilter_broadcast=small_pairs,
+    )
+    new_edges = verified.where(F.col("verified")).select("id_a", "id_b")
+
+    cat.append(sig_new, "signatures")
+    cat.append(bands_new.withColumn("batch_id", F.lit(batch_id)), "bands")
+    cat.append(new_edges.withColumn("batch_id", F.lit(batch_id)), "edges")
+
+    edges_all = (
+        cat.read("edges").dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b")
+        if cat.exists("edges")
+        else new_edges
+    )
+    assignments = connected_components(edges_all)
+    all_ids = cat.read("signatures").dropDuplicates([ID]).select(ID)
+    clusters = attach_singletons(assignments, all_ids, ID)
+    cat.write(clusters, "clusters")
+    cat.append(
+        spark.createDataFrame([(int(batch_id),)], "batch_id long"), "_batches"
+    )
+
+
+def stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    trigger_available_now: bool = True,
+):
+    """Incremental streaming near-dup: the full LSH -> verify -> CC loop as
+    a ``foreachBatch`` stream over the checkpoint catalog (SURVEY §2.7's
+    idiomatic extension; VERDICT r2 item 5).  New page files landing in
+    ``input_dir`` are signed, banded against everything already ingested,
+    verified, and merged into the ``clusters`` table in ``warehouse``.
+    Returns the started StreamingQuery.
+    """
+    from image_deduplication_3m_images_spark.sources.checkpoint import make_catalog
+
+    cfg = cfg or DedupConfig()
+    cat = make_catalog(spark, warehouse)
+    pages_schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    stream = spark.readStream.schema(pages_schema).parquet(input_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_neardup_batch(spark, batch_df, batch_id, cat, cfg)
+
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -1,0 +1,68 @@
+"""Hardening regressions from round-2 ADVICE: hamming radius=0 degenerate
+case, Hadoop-FS scratch cleanup, and session-keyed query memoization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.operators.dedup import hamming_block_pairs
+from image_deduplication_3m_images_spark.session import hadoop_delete
+
+
+def test_hamming_radius_zero_is_exact_pairs(spark):
+    """radius=0 must degrade to exact-hash pairs (was: (1<<64)-1 overflowed
+    LongType in F.lit and raised NumberFormatException)."""
+    rows = [(1, 7), (2, 7), (3, 7), (4, -12345), (5, -12345), (6, 99)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_block_pairs(df, "h", "id", radius=0).collect()
+    )
+    assert got == [(1, 2, 0), (1, 3, 0), (2, 3, 0), (4, 5, 0)]
+
+
+def test_hamming_negative_radius_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        hamming_block_pairs(None, "h", "id", radius=-1)
+
+
+def test_hadoop_delete_local_file_uri(spark, tmp_path):
+    """CC-checkpoint cleanup goes through the Hadoop FS API so it works on
+    hdfs/s3 warehouses; covered here against a local file: URI."""
+    scratch = tmp_path / "_cc_checkpoints"
+    (scratch / "sub").mkdir(parents=True)
+    (scratch / "sub" / "part-0").write_text("x")
+    uri = f"file://{scratch}"
+    assert hadoop_delete(spark, uri) is True
+    assert not scratch.exists()
+    # deleting a missing path is a no-op, not an error
+    assert hadoop_delete(spark, uri) is False
+
+
+def test_query_memo_keyed_by_session(spark):
+    """Cached DataFrames die with their SparkSession; the memo must drop
+    entries from a previous application instead of handing out dead handles."""
+    from image_deduplication_3m_images_spark.plans import queries as Q
+
+    class FakeCtx:
+        applicationId = "app-OLD"
+
+    class FakeSpark:
+        sparkContext = FakeCtx()
+
+    Q._MEMO.clear()
+    Q._MEMO_APP[:] = []
+    assert Q._memo(FakeSpark(), ("k",), lambda: 1) == 1
+    assert ("k",) in Q._MEMO
+    # same app: memo hit (builder not called)
+    assert Q._memo(FakeSpark(), ("k",), lambda: 2) == 1
+    # new app (restarted session): memo cleared, rebuilt
+    FakeCtx.applicationId = "app-NEW"
+    assert Q._memo(FakeSpark(), ("k",), lambda: 3) == 3
+    Q._MEMO.clear()
+    Q._MEMO_APP[:] = []

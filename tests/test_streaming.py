@@ -161,3 +161,119 @@ def test_sessionize_stream_matches_batch_across_restarts(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+def test_sessionize_stream_drops_cross_batch_late_events(spark, tmp_path):
+    """A batch-2 event with ts OLDER than the user's state frontier must be
+    dropped (watermark-style), not silently move the frontier backwards and
+    corrupt session boundaries (ADVICE r2)."""
+    import datetime as dt
+
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        sessionize_stream,
+    )
+
+    def ev(eid, minute, value):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute),
+            1,
+            "click",
+            value,
+            "{}",
+        )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    os.makedirs(indir)
+    # batch 1: frontier ends at minute 5
+    spark.createDataFrame([ev(1, 0, 1.0), ev(2, 5, 2.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(indir)
+    q = sessionize_stream(spark, indir, outdir, ckpt)
+    q.awaitTermination(120)
+    # batch 2: minute 2 is LATE (< frontier 5) -> dropped; minute 60 closes
+    # [0,5]; minute 120 closes [60,60]
+    spark.createDataFrame(
+        [ev(3, 2, 100.0), ev(4, 60, 4.0), ev(5, 120, 8.0)], schema
+    ).coalesce(1).write.mode("append").parquet(indir)
+    q2 = sessionize_stream(spark, indir, outdir, ckpt)
+    q2.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+         r["session_end"].minute + 60 * r["session_end"].hour,
+         r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(outdir).collect()
+    )
+    # late 100.0-value event appears nowhere; boundaries as if it never came
+    assert got == [(1, 0, 5, 2, 300), (1, 60, 60, 1, 400)]
+
+def test_stream_neardup_merges_later_duplicate_into_existing_cluster(
+    spark, tmp_path
+):
+    """VERDICT r2 item 5: the incremental LSH->verify->CC loop.  Batch 1
+    ingests most of a planted-cluster corpus; batch 2 (a stream RESTART,
+    exercising the checkpoint) delivers held-out members of existing
+    near-dup clusters — they must land in the clusters their mates already
+    occupy, and the final partition must equal the batch pipeline's."""
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        stream_neardup,
+    )
+    from image_deduplication_3m_images_spark.plans.dedupe import run_dedupe
+
+    fx = generate_pages(n_rows=150, seed=11)
+    truth = {t["url"]: t["expected_cluster_id"] for t in fx.truth}
+    # hold out ONE member of each of two multi-member planted clusters
+    multi = {}
+    for url, c in truth.items():
+        if c.startswith(("near_", "exact_")):
+            multi.setdefault(c, []).append(url)
+    held_clusters = [c for c, urls in sorted(multi.items()) if len(urls) >= 3][:2]
+    held = {multi[c][-1] for c in held_clusters}
+    assert len(held) == 2
+
+    pages = pages_dataframe(spark, fx)
+    indir = str(tmp_path / "in")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+
+    held_list = list(held)
+    pages.where(~F.col("url").isin(held_list)).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = stream_neardup(spark, indir, wh, ckpt)
+    q.awaitTermination(300)
+    pages.where(F.col("url").isin(held_list)).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q2 = stream_neardup(spark, indir, wh, ckpt)
+    q2.awaitTermination(300)
+
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{wh}/clusters").collect()
+    }
+    assert len(got) == len(fx.rows)
+    # each held-out doc joined the cluster its mates already formed
+    for c in held_clusters:
+        mates = [u for u in multi[c] if u not in held]
+        held_member = [u for u in multi[c] if u in held][0]
+        assert got[held_member] == got[mates[0]], (c, held_member)
+
+    # full equivalence: same cluster partition as the batch pipeline
+    batch_report = run_dedupe(spark, pages, str(tmp_path / "wh_batch"))
+    batch = {
+        r["url"]: r["cluster_id"]
+        for r in batch_report.select("url", "cluster_id").collect()
+    }
+
+    def partition(assign):
+        groups = {}
+        for u, c in assign.items():
+            groups.setdefault(c, set()).add(u)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    assert partition(got) == partition(batch)
