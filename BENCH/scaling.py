@@ -32,7 +32,7 @@ Methodology notes (all measured in this sandbox, reproducible below):
     PRIMARY pair has no hardware ceiling below the 0.8 bar, while the
     SATURATED pair's ceiling is ~0.80 before Spark overhead.
 
-Usage: python BENCH/scaling.py [n_rows] [repeats] [--skip-extras]
+Usage: python BENCH/scaling.py [sizes_csv] [repeats] [--skip-extras]
 """
 
 from __future__ import annotations
@@ -70,9 +70,13 @@ def run_once(n_rows: int, total_cores: int, master: str | None = None) -> dict:
 
 
 def best_of(n_rows: int, total_cores: int, master: str | None, repeats: int) -> dict:
+    import statistics
+
     runs = [run_once(n_rows, total_cores, master) for _ in range(repeats)]
     best = min(runs, key=lambda r: r["wall_s"])
     best["all_walls"] = [r["wall_s"] for r in runs]
+    best["median_wall_s"] = round(statistics.median(r["wall_s"] for r in runs), 2)
+    best["median_docs_per_sec"] = round(n_rows / best["median_wall_s"], 1)
     return best
 
 
@@ -88,11 +92,18 @@ def pair(lo: dict, hi: dict, factor: float) -> dict:
         "wall_s_4n": hi["wall_s"],
         "walls_n": lo["all_walls"],
         "walls_4n": hi["all_walls"],
+        "median_wall_s_n": lo.get("median_wall_s"),
+        "median_wall_s_4n": hi.get("median_wall_s"),
         "stage_walls_n": lo.get("stage_walls", {}),
         "stage_walls_4n": hi.get("stage_walls", {}),
         "scaling_efficiency": round(
             (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor, 3
         ),
+        "scaling_efficiency_median": round(
+            (lo.get("median_wall_s") / hi.get("median_wall_s")) / factor, 3
+        )
+        if lo.get("median_wall_s") and hi.get("median_wall_s")
+        else None,
     }
 
 
@@ -112,31 +123,39 @@ def stage_table(p: dict) -> str:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_rows = int(args[0]) if args else 1000000
-    repeats = int(args[1]) if len(args) > 1 else 2
+    sizes = (
+        [int(s) for s in args[0].split(",")] if args else [1000000, 2000000]
+    )
+    repeats = int(args[1]) if len(args) > 1 else 3
     skip_extras = "--skip-extras" in sys.argv
 
     # PRIMARY: 1 -> 4 executor JVMs, 2 cores each (host never saturated; both
     # legs stay under this sandbox's ~8-concurrent-Arrow-worker kernel
     # ceiling, so the pair measures executor scale-out rather than the
-    # virtio socket path)
-    p_lo = best_of(n_rows, 2, "local-cluster[1,2,4096]", repeats)
-    p_hi = best_of(n_rows, 8, "local-cluster[4,2,4096]", repeats)
-    primary = pair(p_lo, p_hi, 4.0)
+    # virtio socket path).  Two fixture sizes so the efficiency is shown not
+    # to be a single-point artifact (VERDICT r2 item 6).
+    primaries: dict[int, dict] = {}
+    for n_rows in sizes:
+        p_lo = best_of(n_rows, 2, "local-cluster[1,2,4096]", repeats)
+        p_hi = best_of(n_rows, 8, "local-cluster[4,2,4096]", repeats)
+        primaries[n_rows] = pair(p_lo, p_hi, 4.0)
+        print(json.dumps({"progress": n_rows, **{k: primaries[n_rows][k] for k in ("scaling_efficiency", "scaling_efficiency_median")}}), flush=True)
 
+    n0 = sizes[0]
+    primary = primaries[n0]
     saturated = single = None
     if not skip_extras:
-        s_lo = best_of(n_rows, 8, "local-cluster[2,4,4096]", 1)
-        s_hi = best_of(n_rows, 32, "local-cluster[8,4,4096]", 1)
+        s_lo = best_of(n0, 8, "local-cluster[2,4,4096]", 1)
+        s_hi = best_of(n0, 32, "local-cluster[8,4,4096]", 1)
         saturated = pair(s_lo, s_hi, 4.0)
-        j_lo = best_of(n_rows, 8, None, 1)
-        j_hi = best_of(n_rows, 32, None, 1)
+        j_lo = best_of(n0, 8, None, 1)
+        j_hi = best_of(n0, 32, None, 1)
         single = pair(j_lo, j_hi, 4.0)
 
     result = {
-        "n_rows": n_rows,
+        "sizes": sizes,
         "repeats": repeats,
-        "primary_1x2_vs_4x2": primary,
+        "primary_1x2_vs_4x2": {str(k): v for k, v in primaries.items()},
         "saturated_2x4_vs_8x4": saturated,
         "single_jvm_8_vs_32": single,
     }
@@ -173,42 +192,48 @@ real cluster never runs 32 UDF workers against one JVM, which is why the
 rule is evidenced with the multi-JVM pairs above.
 """
 
+    primary_md = ""
+    for n_rows, p in primaries.items():
+        primary_md += f"""
+### {n_rows:,} docs
+
+| config | executors x cores | best wall (s) | median wall (s) | all walls (s) |
+|---|---|---|---|---|
+| local-cluster[1,2,4096] (N)  | 1 x 2 = 2 | {p['wall_s_n']} | {p['median_wall_s_n']} | {p['walls_n']} |
+| local-cluster[4,2,4096] (4N) | 4 x 2 = 8 | {p['wall_s_4n']} | {p['median_wall_s_4n']} | {p['walls_4n']} |
+
+**Scaling efficiency: best-of-{repeats} = {p['scaling_efficiency']}, median = {p['scaling_efficiency_median']}**
+
+Per-stage walls (best runs):
+
+{stage_table(p)}
+"""
+
     md = f"""# BENCH — two-cluster-size scaling evidence (north rule)
 
-Same job (`jobs/dedupe.py --fixture {n_rows}`), byte-identical deterministic
-input, fresh process per run, UDF workers warmed outside the timed window,
-best-of-{repeats} per leg (identical configs vary up to ~2.5x run-to-run on
-this virtualized box; best-of-N measures capability, not noise).  Cluster
-outputs are asserted identical across legs before efficiency is computed.
+Same job (`jobs/dedupe.py --fixture N`), byte-identical deterministic
+input per size, fresh process per run, UDF workers warmed outside the
+timed window, {repeats} runs per leg with BOTH best and median efficiency
+reported (identical configs vary up to ~2.5x run-to-run on this
+virtualized box; best-of-N measures capability, the median shows the
+spread).  Cluster outputs are asserted identical across legs before any
+efficiency is computed.  Two fixture sizes ({', '.join(f'{s:,}' for s in sizes)})
+show the efficiency is not a single-point artifact.
 
 No real cluster in this sandbox: N-vs-4N executors are modeled with
 `local-cluster` masters — separate executor JVMs (own heap + Python
 workers), scaled OUT at a fixed small core count per JVM, exactly how a
-real cluster
-grows.  Each executor JVM is capped to its own cores
+real cluster grows.  Each executor JVM is capped to its own cores
 (`-XX:ActiveProcessorCount`), as a container cgroup would on a real node.
 
 ## PRIMARY: 1 vs 4 executor JVMs (2 cores each; host never saturated)
-
-| config | executors x cores | wall (s) | docs/sec |
-|---|---|---|---|
-| local-cluster[1,2,4096] (N)  | 1 x 2 = 2   | {primary['wall_s_n']} | {primary['docs_per_sec_n']} |
-| local-cluster[4,2,4096] (4N) | 4 x 2 = 8   | {primary['wall_s_4n']} | {primary['docs_per_sec_4n']} |
-
-**Scaling efficiency = (docs/sec@4N ÷ docs/sec@N) ÷ 4 = {primary['scaling_efficiency']}**
-
-(all walls: N {primary['walls_n']}, 4N {primary['walls_4n']})
-
-Per-stage walls (best runs):
-
-{stage_table(primary)}
-
+{primary_md}
 The raw-CPU ceiling for this pair is ~1.0 (numpy multiprocessing scales
 2 -> 8 procs linearly on this box) and both legs stay below the measured
-~8-concurrent-Arrow-worker kernel ceiling, so the number above is pure
+~8-concurrent-Arrow-worker kernel ceiling, so the numbers above are pure
 pipeline scaling, not hardware or sandbox-socket artifacts.
 {extras_md}
-Reproduce: `python BENCH/scaling.py {n_rows} {repeats}`
+Reproduce: `python BENCH/scaling.py {','.join(str(s) for s in sizes)} {repeats}`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -54,9 +54,6 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     prime = np.uint64(MINHASH_PRIME)
     c = np.uint64(HORNER_C)
 
-    n_out = np.empty(len(texts), dtype=np.int32)
-    mh_out: list[np.ndarray] = []
-    sh_out = np.empty(len(texts), dtype=np.int64)
 
     md5 = hashlib.md5
 
@@ -105,29 +102,78 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
             r[over] -= prime
         return r
 
-    for i in range(len(texts)):
-        th = th_flat[bounds[i] : bounds[i + 1]]
-        n = th.size
-        if n == 0:
-            h64 = np.zeros(1, dtype=np.uint64)
-        elif n < k:
-            h = int(th[0])
-            for j in range(1, n):
-                h = (h * HORNER_C + int(th[j])) & 0xFFFFFFFFFFFFFFFF
-            h64 = np.array([h], dtype=np.uint64)
-        else:
-            h64 = th[0 : n - k + 1].copy()
-            for j in range(1, k):
-                h64 = h64 * c + th[j : n - k + 1 + j]
-        h32 = h64 >> np.uint64(32)
-        # MinHash: (S,128) affine matrix, min over shingle axis.
-        mh = fast_mod(h32[:, None] * a + b).min(axis=0).astype(np.int64)
-        # SimHash: majority vote per bit (strict majority; ties -> 0).
-        ones = ((h64[:, None] >> _BIT_COLS) & np.uint64(1)).sum(axis=0, dtype=np.int64)
-        set_bits = (2 * ones) > h64.size
-        n_out[i] = h64.size if n < k else n - k + 1
-        mh_out.append(mh)
-        sh_out[i] = np.int64((set_bits.astype(np.uint64) * weights).sum(dtype=np.uint64))
+    # --- flat shingle hashes for the WHOLE batch (no per-doc Python loop) --
+    # Docs with n >= k emit n-k+1 rolling hashes; shorter docs emit exactly
+    # one (Horner over all their tokens; empty docs a single 0 hash) — the
+    # same per-doc values as the original loop formulation, byte-for-byte.
+    n_docs = len(texts)
+    m = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    out_bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(m, out=out_bounds[1:])
+    total = int(out_bounds[-1])
+    h64_flat = np.zeros(total, dtype=np.uint64)
+
+    # Rolling hashes CONTIGUOUSLY over the whole flat token-hash array (k
+    # fused slice ops, no gathers), computing every window including ones
+    # crossing a doc boundary — then keep only windows fully inside one doc
+    # (doc_of_token[p] == doc_of_token[p+k-1]).  Valid windows and output
+    # slots are both in doc order, so one boolean index aligns them.
+    # (Fancy-index gathers here measured ~2x the cost of these slices.)
+    doc_idx = np.repeat(np.arange(n_docs), m)
+    pos_len = lens[doc_idx]
+    vec_pos = pos_len >= k
+    T = int(bounds[-1])
+    if T >= k:
+        h_all = th_flat[: T - k + 1].copy()
+        for j in range(1, k):  # k fused full-array ops (uint64 wraparound)
+            h_all = h_all * c + th_flat[j : T - k + 1 + j]
+        doc_of_token = np.repeat(np.arange(n_docs), lens)
+        valid = doc_of_token[: T - k + 1] == doc_of_token[k - 1 :]
+        h64_flat[vec_pos] = h_all[valid]
+    short_pos = (~vec_pos) & (pos_len > 0)
+    if short_pos.any():
+        sb = bounds[:-1][doc_idx][short_pos]  # == doc start (m==1 for short docs)
+        sl = pos_len[short_pos]
+        h = th_flat[sb].copy()
+        for j in range(1, int(sl.max())):  # bounded by k-1 iterations
+            grow = sl > j
+            h[grow] = h[grow] * c + th_flat[sb[grow] + j]
+        h64_flat[short_pos] = h
+    # n==0 docs keep their single 0 hash (h64_flat already zeroed)
+
+    # --- MinHash + SimHash via doc-aligned blocked segment reductions -----
+    # The (positions, 128) affine matrix is materialized one block at a time
+    # and np.minimum/np.add.reduceat collapse each doc's segment in C.  The
+    # block is sized to keep the ~10 uint64/float64 temporaries of the
+    # affine+mod chain inside the CPU cache: measured 1.3 s/M positions at
+    # 1-2k rows vs 28 s/M at 64k rows (same element count — pure DRAM
+    # round-trips), which is also why the old per-doc loop was fast.
+    num_perm = a.shape[1]
+    mh_all = np.empty((n_docs, num_perm), dtype=np.int64)
+    ones_all = np.empty((n_docs, 64), dtype=np.int64)
+    BLOCK = 1 << 11
+    d0 = 0
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(out_bounds, out_bounds[d0] + BLOCK, "right")) - 1
+        d1 = max(d1, d0 + 1)  # a doc larger than BLOCK still goes whole
+        p0, p1 = int(out_bounds[d0]), int(out_bounds[d1])
+        starts = (out_bounds[d0:d1] - p0).astype(np.int64)
+        h64b = h64_flat[p0:p1]
+        mhb = fast_mod((h64b >> np.uint64(32))[:, None] * a + b)
+        mh_all[d0:d1] = np.minimum.reduceat(mhb, starts, axis=0).astype(np.int64)
+        bits = ((h64b[:, None] >> _BIT_COLS) & np.uint64(1)).astype(np.int64)
+        ones_all[d0:d1] = np.add.reduceat(bits, starts, axis=0)
+        d0 = d1
+
+    # strict majority per bit (ties -> 0), per doc
+    set_bits = (2 * ones_all) > m[:, None]
+    sh_out = (
+        (set_bits.astype(np.uint64) * weights[None, :])
+        .sum(axis=1, dtype=np.uint64)
+        .astype(np.int64)
+    )
+    n_out = m.astype(np.int32)
+    mh_out = list(mh_all)
 
     return pd.DataFrame(
         {"n_shingles": n_out, "minhash": mh_out, "simhash": sh_out}

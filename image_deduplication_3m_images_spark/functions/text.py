@@ -29,9 +29,14 @@ def _extract_text_pd(html: pd.Series) -> pd.Series:
     The rule is intentionally exact (no entity decoding, no normalization) so
     the output is byte-identical across runs/partitionings.
     """
-    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    # .str.decode / .str.join are the vectorized forms (no python lambda per
+    # row); non-bytes elements (already-str or None) decode to NaN and are
+    # backfilled from the raw series
+    s = html.str.decode("utf-8", errors="replace")
+    if s.isna().any():
+        s = s.fillna(html.where(html.notna(), "").astype(str))
     title = s.str.extract(_TITLE_RE, expand=False).fillna("")
-    paras = s.str.findall(_PARA_RE).apply(lambda xs: "\n".join(xs))
+    paras = s.str.findall(_PARA_RE).str.join("\n")
     out = title.str.cat(paras, sep="\n")
     # no title and no paras -> empty text, never null
     return out.str.strip("\n").fillna("")
