@@ -277,3 +277,31 @@ def test_stream_neardup_merges_later_duplicate_into_existing_cluster(
         return {frozenset(g) for g in groups.values() if len(g) > 1}
 
     assert partition(got) == partition(batch)
+
+def test_ingest_neardup_batch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a COMPLETED batch id must not
+    duplicate signatures/bands/edges or change clusters."""
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        ingest_neardup_batch,
+    )
+
+    fx = generate_pages(n_rows=60, seed=21)
+    pages = pages_dataframe(spark, fx)
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cfg = DedupConfig()
+    ingest_neardup_batch(spark, pages, 0, cat, cfg)
+    n_sig = cat.read("signatures").count()
+    n_edges = cat.read("edges").count()
+    clusters1 = sorted(
+        (r["url"], r["cluster_id"]) for r in cat.read("clusters").collect()
+    )
+    # replay the same batch id -> complete no-op
+    ingest_neardup_batch(spark, pages, 0, cat, cfg)
+    assert cat.read("signatures").count() == n_sig
+    assert cat.read("edges").count() == n_edges
+    clusters2 = sorted(
+        (r["url"], r["cluster_id"]) for r in cat.read("clusters").collect()
+    )
+    assert clusters1 == clusters2
