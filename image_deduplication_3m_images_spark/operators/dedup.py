@@ -40,19 +40,27 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def hamming_block_pairs(
-    df: DataFrame, hash_col: str, id_col: str, radius: int = 3
+    df: DataFrame, hash_col: str, id_col: str, radius: int = 3,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Candidate pairs within Hamming ``radius`` of a 64-bit hash column, by
     pigeonhole chunk blocking: hamming <= h implies at least one of h+1
-    equal chunks, so splitting the hash into h+1 chunks and self-joining on
+    equal chunks, so splitting the hash into h+1 chunks and bucketing on
     (chunk_id, chunk) finds every qualifying pair WITHOUT an all-pairs scan.
     Exact bit_count filter afterwards removes chunk-collision false
     positives.  Returns (id_a, id_b, hamming), distinct, hamming <= radius.
 
-    Scale shape: one explode (x(h+1) rows of (id, 16ish-bit chunk, hash)),
-    one hash-shuffle self-join on the chunk key — the same pattern as the
-    MinHash band join; hot chunks (e.g. all-zero hashes) are bounded by the
-    chunk width, and the distinct runs on the (small) matched pairs only.
+    Scale shape (same single-shuffle pattern that halved candidate_pairs in
+    the LSH operator, lsh.py:92-134): one explode (x(h+1) rows of (id,
+    16ish-bit chunk, hash)), ONE hash-shuffle into groupBy(chunk_id, chunk)
+    with a size-bounded collect_list of (id, hash) structs, pairs expanded
+    map-side by a codegen'd array expression.  Buckets over ``bucket_cap``
+    (degenerate corpora — e.g. thousands of all-zero hashes) skip the
+    collect and take an exact self-join restricted to those keys instead:
+    unlike LSH starring, Hamming semantics need EVERY qualifying pair, so
+    the hot tier trades the second shuffle for bounded executor memory
+    rather than dropping pairs.  The tier split is driven by a
+    map-side-combined (key, count) aggregate — tiny bytes.
     """
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
@@ -76,15 +84,58 @@ def hamming_block_pairs(
         F.col(id_col), F.col(hash_col).alias("h"),
         F.posexplode(chunks).alias("chunk_id", "chunk"),
     )
-    a = blocks.select(
+
+    stats = blocks.groupBy("chunk_id", "chunk").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    ).where(F.col("bucket_size") > bucket_cap)
+    tiered = blocks.join(stats, ["chunk_id", "chunk"], "left")
+
+    # small buckets: collect_list bounded by bucket_cap, pairs expanded by a
+    # codegen'd (i < j) array expression — sort_array on (id, h) structs
+    # orders by id, so id_a < id_b holds by construction
+    members = F.sort_array(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("h")))
+    ).alias("members")
+    grouped = (
+        tiered.where(F.col("bucket_size").isNull())
+        .groupBy("chunk_id", "chunk")
+        .agg(members)
+    )
+    ms = F.col("members")
+    small_pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.slice(ms, i + 2, F.size(ms)),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            x["h"].alias("h_a"),
+                            y["id"].alias("id_b"),
+                            y["h"].alias("h_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.h_a", "p.id_b", "p.h_b")
+
+    hot = tiered.where(F.col("bucket_size").isNotNull())
+    a = hot.select(
         "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("h").alias("h_a")
     )
-    b = blocks.select(
+    b = hot.select(
         "chunk_id", "chunk", F.col(id_col).alias("id_b"), F.col("h").alias("h_b")
     )
-    return (
+    hot_pairs = (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "h_a", "id_b", "h_b")
+    )
+
+    return (
+        small_pairs.unionByName(hot_pairs)
         .select(
             "id_a",
             "id_b",

@@ -66,3 +66,28 @@ def test_query_memo_keyed_by_session(spark):
     assert Q._memo(FakeSpark(), ("k",), lambda: 3) == 3
     Q._MEMO.clear()
     Q._MEMO_APP[:] = []
+
+
+def test_hamming_hot_bucket_tier_is_exact(spark):
+    """Buckets over bucket_cap take the exact self-join tier (Hamming
+    semantics must not drop pairs); small buckets take the collect_list
+    tier.  Both against a brute-force oracle, with a degenerate all-equal
+    hash cluster forcing the hot tier."""
+    rows = (
+        [(i, 0) for i in range(10)]          # hot: 10 identical hashes
+        + [(100, 3)]                          # hamming 2 from the zeros
+        + [(200, 1 << 40), (201, 1 << 40)]    # small bucket pair
+        + [(300, -1)]                         # far from everything
+    )
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_block_pairs(df, "h", "id", radius=3, bucket_cap=4).collect()
+    )
+    expected = sorted(
+        (a, b, bin((ha ^ hb) & (2**64 - 1)).count("1"))
+        for i, (a, ha) in enumerate(rows)
+        for (b, hb) in rows[i + 1:]
+        if bin((ha ^ hb) & (2**64 - 1)).count("1") <= 3
+    )
+    assert got == expected
