@@ -160,12 +160,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    prefilter_broadcast: bool = True,
 ) -> DataFrame:
     """Exact token n-gram Jaccard for given candidate pairs (never all-pairs).
 
     Returns integer intersection/union sizes (float-drift-free for the oracle)
     plus the ratio.  Set semantics: distinct n-grams per doc.
+
+    ``prefilter_broadcast``: broadcast the pair-id set and LEFT SEMI filter
+    the corpus BEFORE building gram arrays — the n-gram expression chain
+    (sequence + transform + concat_ws + array_distinct per doc) then runs
+    only for docs that actually appear in a pair, and the corpus-wide gram
+    arrays never enter a shuffle.  Disable when the pair set is too big to
+    broadcast (same contract as verify_pairs' byte guard).
     """
+    if prefilter_broadcast:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates([id_col])
+        )
+        df = df.join(F.broadcast(ids), id_col, "leftsemi")
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
     n_toks = F.size(toks)
     grams = F.when(

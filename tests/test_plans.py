@@ -129,3 +129,10 @@ def test_verify_prefilter_semi_joins_before_equijoin(spark):
     plan = plan_of(out)
     assert plan.count("LeftSemi") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan  # everything broadcast/map-side here
+
+
+def test_ngram_jaccard_semi_filters_before_gram_build(spark):
+    """The n-gram expression chain must run only for docs in the pair set:
+    a broadcast LEFT SEMI prunes the corpus before gram arrays are built."""
+    plan = plan_of(Q.q_ngram_jaccard(spark, SF))
+    assert "LeftSemi" in plan, plan[:1500]
