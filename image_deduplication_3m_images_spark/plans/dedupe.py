@@ -227,18 +227,26 @@ def run_dedupe(
         # a prior failed/killed run may have left checkpoint files behind
         # (cleanup below only runs on success) — clear them before starting
         hadoop_delete(spark, cc_ckpt_dir)
-    clusters = stage("clusters", _clusters)
+
+    # CC + singleton attach + best pick fused into ONE checkpointed stage:
+    # the clusters frame is consumed exactly once (by pick_best), and the
+    # report row (url, cluster_id, quality, cluster_size, is_best) strictly
+    # contains the cluster assignment — materializing an intermediate
+    # corpus-wide clusters table bought nothing but an extra full-table
+    # write + read + lineage barrier (a fixed, parallelism-independent cost
+    # that ate scaling efficiency at small inputs).  On failure mid-stage
+    # the recompute re-runs CC, which is cheap next to a corpus-wide write;
+    # the CC loop's own durability comes from its reliable checkpoints.
+    report = stage(
+        "report",
+        lambda: pick_best(_clusters(), signatures.select(ID, "quality"), ID),
+    )
     if cc_ckpt_dir:
-        # the clusters table is committed to the catalog by now; the CC
+        # the report table is committed to the catalog by now; the CC
         # checkpoint files have served their purpose.  Hadoop FS API, not
         # shutil: the warehouse is hdfs://s3a:// on a real cluster and
         # rmtree would silently no-op there (VERDICT r2 item 7).
         hadoop_delete(spark, cc_ckpt_dir)
-
-    report = stage(
-        "report",
-        lambda: pick_best(clusters, signatures.select(ID, "quality"), ID),
-    )
     return report
 
 

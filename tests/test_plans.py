@@ -136,3 +136,30 @@ def test_ngram_jaccard_semi_filters_before_gram_build(spark):
     a broadcast LEFT SEMI prunes the corpus before gram arrays are built."""
     plan = plan_of(Q.q_ngram_jaccard(spark, SF))
     assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed by the join key
+    into the same bucket count join WITHOUT an exchange on either side —
+    the physical shape repeated corpus-vs-corpus joins (signatures vs
+    edges, clusters vs quality) rely on at 100 TB, where one pre-bucketed
+    write amortizes every later join's shuffle."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}/db'")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        docs.select("doc_id", "lang").write.bucketBy(8, "doc_id").sortBy(
+            "doc_id"
+        ).mode("overwrite").saveAsTable("bucketdemo.d1")
+        docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id").sortBy(
+            "doc_id"
+        ).mode("overwrite").saveAsTable("bucketdemo.d2")
+        joined = spark.table("bucketdemo.d1").join(
+            spark.table("bucketdemo.d2").hint("merge"), "doc_id"
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.d1")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.d2")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo")
