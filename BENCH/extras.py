@@ -24,12 +24,25 @@ spec.loader.exec_module(scaling)
 
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000000
-    s_lo = scaling.best_of(n_rows, 8, "local-cluster[2,4,4096]", 1)
-    s_hi = scaling.best_of(n_rows, 32, "local-cluster[8,4,4096]", 1)
-    saturated = scaling.pair(s_lo, s_hi, 4.0)
-    j_lo = scaling.best_of(n_rows, 8, None, 1)
-    j_hi = scaling.best_of(n_rows, 32, None, 1)
-    single = scaling.pair(j_lo, j_hi, 4.0)
+    cache_root = os.path.join(
+        scaling.shm_base() or "/tmp", "spark_graft_inputs"
+    )
+    os.makedirs(cache_root, exist_ok=True)
+    inp = scaling.ensure_input(n_rows, cache_root)
+
+    def one(cores: int, master: str | None, leg: str) -> dict:
+        return scaling.best_of(
+            [scaling.run_job(inp, n_rows, cores, master, leg, 0)], n_rows
+        )
+
+    saturated = scaling.pair(
+        one(8, "local-cluster[2,4,4096]", "sat_n"),
+        one(32, "local-cluster[8,4,4096]", "sat_4n"),
+        4.0,
+    )
+    single = scaling.pair(
+        one(8, None, "jvm_n"), one(32, None, "jvm_4n"), 4.0
+    )
     print(json.dumps({"saturated": saturated, "single": single}))
 
     md = f"""

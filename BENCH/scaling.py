@@ -3,78 +3,129 @@
 
 No real cluster exists in this sandbox, so N-vs-4N executors are modeled
 with ``local-cluster`` masters: separate executor JVMs (own heap, shuffle
-server, and Python UDF workers), scaled OUT at fixed 4 cores per JVM —
-exactly how a real cluster grows.  Two pairs are measured:
+server, and Python UDF workers), scaled OUT at fixed cores per JVM —
+exactly how a real cluster grows.
 
   * PRIMARY   1 executor  vs 4 executors  (2 cores each, 2 -> 8 cores).
     The 4N leg uses a quarter of the host, so executors never compete with
     the driver/OS for cores, and BOTH legs stay under this sandbox's
     measured ~8-concurrent-Arrow-worker kernel ceiling — the faithful model
     of executors that own their machines.
-  * SATURATED 2 executors vs 8 executors  (8 -> 32 cores).  The 4N leg
-    saturates every host core; the gap vs PRIMARY quantifies the
-    one-box-hosting-everything artifact.
+  * Transparency extras (saturated 2x4 vs 8x4 pair and single-JVM local[8]
+    vs local[32]) live in BENCH/extras.py.
 
-Plus single-JVM ``local[8]`` vs ``local[32]`` for transparency (the shape
-tests/bench run in, NOT the shape the rule scales — a cluster adds JVMs,
-not threads).
+Methodology (all measured in this sandbox, reproducible below):
+  * the fixture input is generated ONCE per size into a shared cache and
+    every leg reads the same bytes (``--input``) — byte-identical input by
+    construction, and hours of per-run regeneration removed;
+  * repeats run ROUND-ROBIN (N, 4N, N, 4N, ...) so a truncated run still
+    covers both legs, and every completed run is logged IMMEDIATELY as one
+    JSON line to stdout and BENCH/scaling_runs.jsonl (a killed run loses
+    nothing — VERDICT r3 item 1b);
+  * each run carries its own ``calibration`` constant (fixed single-thread
+    numpy kernel wall, see image_deduplication_3m_images_spark/calibration.py)
+    so walls are comparable across this VM's 1.5-2.5x window drift;
+  * efficiency is reported best-of-N AND median; cluster outputs are
+    asserted identical across legs before any efficiency is reported.
 
-Methodology notes (all measured in this sandbox, reproducible below):
-  * identical deterministic input per pair, fresh process per run, UDF
-    workers warmed OUTSIDE the timed window;
-  * each leg runs ``repeats`` times and takes the BEST wall — identical
-    configs vary up to ~2.5x run-to-run here (virtualized, co-tenant box),
-    and best-of-N measures capability rather than noise;
-  * cluster outputs are asserted identical across legs before any
-    efficiency is reported;
-  * raw-CPU ceiling: the same box scales a pure numpy multiprocessing
-    kernel 4->16 procs at ~1.0 efficiency and 8->32 at ~0.80, so the
-    PRIMARY pair has no hardware ceiling below the 0.8 bar, while the
-    SATURATED pair's ceiling is ~0.80 before Spark overhead.
-
-Usage: python BENCH/scaling.py [sizes_csv] [repeats] [--skip-extras]
+Usage: python BENCH/scaling.py [sizes_csv] [repeats]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUMMARY_KEYS = ("n_clusters", "n_dup_clusters", "n_redundant_docs", "max_cluster_size")
+RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+
+LEGS = (  # (name, total_cores, master, scale factor vs N)
+    ("n", 2, "local-cluster[1,2,4096]"),
+    ("4n", 8, "local-cluster[4,2,4096]"),
+)
 
 
-def run_once(n_rows: int, total_cores: int, master: str | None = None) -> dict:
+def shm_base() -> str | None:
     # /dev/shm models the distributed fast storage a real cluster checkpoints
     # to; a single local disk would serialize all stage writes
-    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+
+
+def ensure_input(n_rows: int, cache_root: str) -> str:
+    """Generate the deterministic fixture ONCE per size (32-core session),
+    shared by every leg/repeat — byte-identical input by construction."""
+    path = os.path.join(cache_root, f"pages_{n_rows}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r});\n"
+            "from image_deduplication_3m_images_spark.session import get_spark;\n"
+            "from image_deduplication_3m_images_spark.sources.pages_fixture import pages_distributed;\n"
+            "s = get_spark(cores=32);\n"
+            "pages_distributed(s, {n}, seed=42, partitions=32)"
+            ".write.mode('overwrite').parquet({path!r});\n"
+            "s.stop()"
+        ).format(repo=REPO, n=n_rows, path=path)
+        subprocess.run([sys.executable, "-c", gen], cwd=REPO, check=True)
+    return path
+
+
+def log_run(rec: dict) -> None:
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RUNS_LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def run_once(input_path: str, n_rows: int, leg: str, repeat: int) -> dict:
+    _, cores, master = next(l for l in LEGS if l[0] == leg)
+    return run_job(input_path, n_rows, cores, master, leg, repeat)
+
+
+def run_job(
+    input_path: str, n_rows: int, cores: int, master: str | None,
+    leg: str, repeat: int,
+) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "dedupe.py"),
-        "--fixture", str(n_rows),
-        "--cores", str(total_cores),
+        "--input", input_path,
+        "--cores", str(cores),
         "--no-resume",
     ]
     if master:
         cmd += ["--master", master]
-    with tempfile.TemporaryDirectory(dir=base) as wh:
+    with tempfile.TemporaryDirectory(dir=shm_base()) as wh:
         out = subprocess.run(
             cmd + ["--warehouse", wh],
             capture_output=True, text=True, cwd=REPO, check=True,
         )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    log_run(
+        {
+            "size": n_rows,
+            "leg": leg,
+            "master": master,
+            "repeat": repeat,
+            "wall_s": res["wall_s"],
+            "docs_per_sec": res["docs_per_sec"],
+            "calibration": res.get("calibration"),
+            "stage_walls": res.get("stage_walls", {}),
+        }
+    )
+    return res
 
 
-def best_of(n_rows: int, total_cores: int, master: str | None, repeats: int) -> dict:
-    import statistics
-
-    runs = [run_once(n_rows, total_cores, master) for _ in range(repeats)]
+def best_of(runs: list[dict], n_rows: int) -> dict:
     best = min(runs, key=lambda r: r["wall_s"])
+    best = dict(best)
     best["all_walls"] = [r["wall_s"] for r in runs]
+    best["all_calibrations"] = [r.get("calibration") for r in runs]
     best["median_wall_s"] = round(statistics.median(r["wall_s"] for r in runs), 2)
     best["median_docs_per_sec"] = round(n_rows / best["median_wall_s"], 1)
     return best
@@ -92,6 +143,8 @@ def pair(lo: dict, hi: dict, factor: float) -> dict:
         "wall_s_4n": hi["wall_s"],
         "walls_n": lo["all_walls"],
         "walls_4n": hi["all_walls"],
+        "calibrations_n": lo["all_calibrations"],
+        "calibrations_4n": hi["all_calibrations"],
         "median_wall_s_n": lo.get("median_wall_s"),
         "median_wall_s_4n": hi.get("median_wall_s"),
         "stage_walls_n": lo.get("stage_walls", {}),
@@ -121,88 +174,18 @@ def stage_table(p: dict) -> str:
     return "\n".join(lines)
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sizes = (
-        [int(s) for s in args[0].split(",")] if args else [1000000, 2000000]
-    )
-    repeats = int(args[1]) if len(args) > 1 else 3
-    skip_extras = "--skip-extras" in sys.argv
-
-    # PRIMARY: 1 -> 4 executor JVMs, 2 cores each (host never saturated; both
-    # legs stay under this sandbox's ~8-concurrent-Arrow-worker kernel
-    # ceiling, so the pair measures executor scale-out rather than the
-    # virtio socket path).  Two fixture sizes so the efficiency is shown not
-    # to be a single-point artifact (VERDICT r2 item 6).
-    primaries: dict[int, dict] = {}
-    for n_rows in sizes:
-        p_lo = best_of(n_rows, 2, "local-cluster[1,2,4096]", repeats)
-        p_hi = best_of(n_rows, 8, "local-cluster[4,2,4096]", repeats)
-        primaries[n_rows] = pair(p_lo, p_hi, 4.0)
-        print(json.dumps({"progress": n_rows, **{k: primaries[n_rows][k] for k in ("scaling_efficiency", "scaling_efficiency_median")}}), flush=True)
-
-    n0 = sizes[0]
-    primary = primaries[n0]
-    saturated = single = None
-    if not skip_extras:
-        s_lo = best_of(n0, 8, "local-cluster[2,4,4096]", 1)
-        s_hi = best_of(n0, 32, "local-cluster[8,4,4096]", 1)
-        saturated = pair(s_lo, s_hi, 4.0)
-        j_lo = best_of(n0, 8, None, 1)
-        j_hi = best_of(n0, 32, None, 1)
-        single = pair(j_lo, j_hi, 4.0)
-
-    result = {
-        "sizes": sizes,
-        "repeats": repeats,
-        "primary_1x2_vs_4x2": {str(k): v for k, v in primaries.items()},
-        "saturated_2x4_vs_8x4": saturated,
-        "single_jvm_8_vs_32": single,
-    }
-    print(json.dumps(result))
-
-    extras_md = ""
-    if saturated:
-        extras_md += f"""
-## Saturated pair: 2 vs 8 executors (8 -> 32 cores, single run each)
-
-| config | wall (s) | docs/sec |
-|---|---|---|
-| local-cluster[2,4,4096] (N)  | {saturated['wall_s_n']} | {saturated['docs_per_sec_n']} |
-| local-cluster[8,4,4096] (4N) | {saturated['wall_s_4n']} | {saturated['docs_per_sec_4n']} |
-
-Efficiency = {saturated['scaling_efficiency']}.  The 4N leg here saturates
-all 32 host cores while also hosting the driver, 8 JVMs' GC/netty threads
-and 32 Python workers — contention a real cluster does not have.  The raw
-numpy multiprocessing ceiling on this box is itself ~0.80 for 8 -> 32
-processes, bounding this pair below the bar before Spark enters.
-"""
-    if single:
-        extras_md += f"""
-## Single-JVM thread scaling (transparency; single run each)
-
-| config | wall (s) | docs/sec |
-|---|---|---|
-| local[8]  | {single['wall_s_n']} | {single['docs_per_sec_n']} |
-| local[32] | {single['wall_s_4n']} | {single['docs_per_sec_4n']} |
-
-Efficiency = {single['scaling_efficiency']} — one JVM's Arrow socket path
-anti-scales past ~8 in-JVM Python workers in this virtualized kernel; a
-real cluster never runs 32 UDF workers against one JVM, which is why the
-rule is evidenced with the multi-JVM pairs above.
-"""
-
+def write_baseline_md(primaries: dict[int, dict], sizes: list[int], repeats: int) -> None:
     primary_md = ""
     for n_rows, p in primaries.items():
         primary_md += f"""
 ### {n_rows:,} docs
 
-| config | executors x cores | best wall (s) | median wall (s) | all walls (s) |
-|---|---|---|---|---|
-| local-cluster[1,2,4096] (N)  | 1 x 2 = 2 | {p['wall_s_n']} | {p['median_wall_s_n']} | {p['walls_n']} |
-| local-cluster[4,2,4096] (4N) | 4 x 2 = 8 | {p['wall_s_4n']} | {p['median_wall_s_4n']} | {p['walls_4n']} |
+| config | executors x cores | best wall (s) | median wall (s) | all walls (s) | calibrations (s) |
+|---|---|---|---|---|---|
+| local-cluster[1,2,4096] (N)  | 1 x 2 = 2 | {p['wall_s_n']} | {p['median_wall_s_n']} | {p['walls_n']} | {p['calibrations_n']} |
+| local-cluster[4,2,4096] (4N) | 4 x 2 = 8 | {p['wall_s_4n']} | {p['median_wall_s_4n']} | {p['walls_4n']} | {p['calibrations_4n']} |
 
-**Scaling efficiency: best-of-{repeats} = {p['scaling_efficiency']}, median = {p['scaling_efficiency_median']}**
+**Scaling efficiency: best = {p['scaling_efficiency']}, median = {p['scaling_efficiency_median']}**
 
 Per-stage walls (best runs):
 
@@ -211,14 +194,18 @@ Per-stage walls (best runs):
 
     md = f"""# BENCH — two-cluster-size scaling evidence (north rule)
 
-Same job (`jobs/dedupe.py --fixture N`), byte-identical deterministic
-input per size, fresh process per run, UDF workers warmed outside the
-timed window, {repeats} runs per leg with BOTH best and median efficiency
-reported (identical configs vary up to ~2.5x run-to-run on this
-virtualized box; best-of-N measures capability, the median shows the
-spread).  Cluster outputs are asserted identical across legs before any
-efficiency is computed.  Two fixture sizes ({', '.join(f'{s:,}' for s in sizes)})
-show the efficiency is not a single-point artifact.
+Same job (`jobs/dedupe.py --input <shared fixture>`), byte-identical
+deterministic input per size (generated once, read by every leg), fresh
+process per run, UDF workers warmed outside the timed window, repeats run
+round-robin across legs with BOTH best and median efficiency reported
+(identical configs vary up to ~2.5x run-to-run on this virtualized box;
+best-of-N measures capability, the median shows the spread).  Every run
+carries a `calibration` constant — the wall of a fixed single-thread
+numpy kernel measured in-process just before the timed window — so walls
+are comparable across this VM's window drift: divide a wall by its run's
+calibration before comparing across rounds.  Cluster outputs are asserted
+identical across legs before any efficiency is computed.  Per-run JSON
+lines stream to BENCH/scaling_runs.jsonl as runs complete.
 
 No real cluster in this sandbox: N-vs-4N executors are modeled with
 `local-cluster` masters — separate executor JVMs (own heap + Python
@@ -232,11 +219,51 @@ The raw-CPU ceiling for this pair is ~1.0 (numpy multiprocessing scales
 2 -> 8 procs linearly on this box) and both legs stay below the measured
 ~8-concurrent-Arrow-worker kernel ceiling, so the numbers above are pure
 pipeline scaling, not hardware or sandbox-socket artifacts.
-{extras_md}
+
+Transparency extras (saturated 8->32-core pair and single-JVM thread
+pair, which quantify the one-box artifact) are measured by
+`python BENCH/extras.py <size>`; round-2 readings: `git show
+4fe7710:BENCH/BASELINE.md`.
+
 Reproduce: `python BENCH/scaling.py {','.join(str(s) for s in sizes)} {repeats}`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sizes = (
+        [int(s) for s in args[0].split(",")] if args else [2000000, 4000000]
+    )
+    repeats = int(args[1]) if len(args) > 1 else 3
+
+    cache_root = os.path.join(shm_base() or tempfile.gettempdir(), "spark_graft_inputs")
+    os.makedirs(cache_root, exist_ok=True)
+
+    primaries: dict[int, dict] = {}
+    for n_rows in sizes:
+        input_path = ensure_input(n_rows, cache_root)
+        runs: dict[str, list[dict]] = {leg: [] for leg, _, _ in LEGS}
+        for r in range(repeats):
+            for leg, _, _ in LEGS:
+                runs[leg].append(run_once(input_path, n_rows, leg, r))
+        primaries[n_rows] = pair(
+            best_of(runs["n"], n_rows), best_of(runs["4n"], n_rows), 4.0
+        )
+        log_run(
+            {
+                "size_done": n_rows,
+                "scaling_efficiency": primaries[n_rows]["scaling_efficiency"],
+                "scaling_efficiency_median": primaries[n_rows]["scaling_efficiency_median"],
+            }
+        )
+        # BASELINE.md is rewritten after EVERY completed size so a killed
+        # run still leaves a full report for the sizes that finished
+        write_baseline_md(primaries, sizes, repeats)
+
+    print(json.dumps({"sizes": sizes, "repeats": repeats,
+                      "primary_1x2_vs_4x2": {str(k): v for k, v in primaries.items()}}))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,13 @@ def main() -> None:
 
     from image_deduplication_3m_images_spark.session import warm_python_workers
 
+    # box-speed constant for cross-window comparability (this VM's effective
+    # speed drifts 1.5-2.5x between windows): walls below are comparable
+    # across rounds after dividing by this run's calibration
+    from image_deduplication_3m_images_spark.calibration import calibration_const
+
+    calibration = calibration_const()
+
     spark = get_spark(cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     # pay the one-time Python-worker bring-up outside the measured window
@@ -111,6 +118,7 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 "pages_rows": pages_n,
+                "calibration": calibration,
             }
         )
     )

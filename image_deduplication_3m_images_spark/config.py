@@ -96,6 +96,10 @@ class DedupConfig:
         payload["prime"] = MINHASH_PRIME
         payload["horner_c"] = HORNER_C
         payload["token_hash"] = "md5-16hex-horner"
+        # checkpoint-table schema version: bumped when stage table shapes
+        # change (e.g. sid surrogate ids), so resume against a warehouse
+        # written by an incompatible pipeline version is refused
+        payload["stage_schema"] = "sid-v2"
         blob = json.dumps(payload, sort_keys=True).encode("utf-8")
         return hashlib.sha256(blob).hexdigest()[:16]
 

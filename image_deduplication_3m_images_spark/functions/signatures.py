@@ -57,18 +57,25 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
 
     md5 = hashlib.md5
 
-    # Tokenize + hash the whole batch columnar: factorize the flat token
-    # stream (C hash table), md5 only each UNIQUE token, fancy-index back.
-    split_lists = [
-        [t for t in (x or "").split(" ") if t] for x in texts
-    ]
-    lens = np.fromiter(map(len, split_lists), dtype=np.int64, count=len(split_lists))
+    # Tokenize + hash the whole batch columnar: pandas' C-loop str.split
+    # (no per-token Python bytecode; the empty-token filter runs vectorized
+    # over the FLAT stream below), factorize the flat token stream (C hash
+    # table), md5 only each UNIQUE token, fancy-index back.
     import itertools
 
-    flat = pd.Series(
+    split_lists = texts.fillna("").str.split(" ").to_numpy()
+    raw_lens = np.fromiter(
+        map(len, split_lists), dtype=np.int64, count=len(split_lists)
+    )  # str.split(" ") never returns [] ("" -> [""]), so every len >= 1
+    flat_raw = pd.Series(
         list(itertools.chain.from_iterable(split_lists)), dtype=object
     )
-    if len(flat):
+    if len(flat_raw):
+        nonempty = flat_raw.to_numpy() != ""  # vectorized empty-token filter
+        raw_bounds = np.zeros(len(split_lists) + 1, dtype=np.int64)
+        np.cumsum(raw_lens, out=raw_bounds[1:])
+        lens = np.add.reduceat(nonempty.astype(np.int64), raw_bounds[:-1])
+        flat = flat_raw[nonempty]
         codes, uniq = pd.factorize(flat, sort=False)
         th_uniq = np.fromiter(
             (
@@ -80,6 +87,7 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
         )
         th_flat = th_uniq[codes]
     else:
+        lens = np.zeros(len(split_lists), dtype=np.int64)
         th_flat = np.zeros(0, dtype=np.uint64)
     bounds = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(lens, out=bounds[1:])
@@ -187,35 +195,22 @@ EXTRACT_SIGNATURE_STRUCT = StructType(
 # Packed variant: Arrow/Catalyst conversion of LIST columns costs ~4us per
 # ELEMENT (measured: returning array<long>(128) for 100k docs = 55 s vs 0.3 s
 # for scalars) — so the hot pipeline returns the 128 MinHash values as ONE
-# 1 KiB binary cell and the 16 LSH band keys as ONE 128 B binary cell.
-# Big-endian packing so `hex(substring(...))` unpacks JVM-side.
+# 1 KiB binary cell.  Big-endian packing so `hex(substring(...))` unpacks
+# JVM-side; band keys are NOT computed in Python at all — they are derived
+# from the packed binary by `band_keys_from_packed_expr` (codegen).
 PACKED_SIGNATURE_STRUCT = StructType(
     [
         StructField("text", StringType(), False),
         StructField("n_shingles", IntegerType(), False),
         StructField("simhash", LongType(), False),
         StructField("minhash_bin", BinaryType(), False),
-        StructField("band_keys_bin", BinaryType(), False),
     ]
 )
 
 
-def _band_keys(mh: np.ndarray, cfg: DedupConfig) -> bytes:
-    """16 LSH band keys, each = first 15 hex chars of md5 of the '_'-joined
-    decimal signature slice — EXACTLY `band_key_expr` in operators/lsh.py and
-    the DuckDB oracle's bands CTE; packed big-endian uint64."""
-    r = cfg.rows_per_band
-    md5 = hashlib.md5
-    keys = np.empty(cfg.bands, dtype=np.uint64)
-    for b in range(cfg.bands):
-        joined = "_".join(str(v) for v in mh[b * r : (b + 1) * r])
-        keys[b] = int(md5(joined.encode("utf-8")).hexdigest()[:15], 16)
-    return keys.byteswap().tobytes()  # big-endian
-
-
 def make_extract_signature_packed_udf(cfg: DedupConfig):
-    """Fused ``html -> struct<text,n_shingles,simhash,minhash_bin,band_keys_bin>``
-    — the hot-pipeline variant (see PACKED_SIGNATURE_STRUCT rationale)."""
+    """Fused ``html -> struct<text,n_shingles,simhash,minhash_bin>`` — the
+    hot-pipeline variant (see PACKED_SIGNATURE_STRUCT rationale)."""
     from image_deduplication_3m_images_spark.functions.text import _extract_text_pd
 
     @F.pandas_udf(PACKED_SIGNATURE_STRUCT)
@@ -223,18 +218,45 @@ def make_extract_signature_packed_udf(cfg: DedupConfig):
         texts = _extract_text_pd(html)
         sig = _batch_signatures(texts, cfg)
         mh_bin = [m.astype(">i8").tobytes() for m in sig["minhash"]]
-        bk_bin = [_band_keys(m, cfg) for m in sig["minhash"]]
         return pd.DataFrame(
             {
                 "text": texts.reset_index(drop=True),
                 "n_shingles": sig["n_shingles"],
                 "simhash": sig["simhash"],
                 "minhash_bin": mh_bin,
-                "band_keys_bin": bk_bin,
             }
         )
 
     return packed_udf
+
+
+def band_keys_from_packed_expr(minhash_bin, cfg: DedupConfig):
+    """array<long> of the 16 LSH band keys, computed ENTIRELY JVM-side from
+    the packed MinHash binary: each key = first 15 hex chars of md5 of the
+    '_'-joined decimal signature slice — EXACTLY ``band_key_expr`` in
+    operators/lsh.py and the DuckDB oracle's bands CTE (byte-equality is
+    pinned in tests/test_packed_signatures.py).  ``conv(hex(substring))``
+    unpacks each value straight to its decimal string, so the whole chain
+    (unpack -> join -> md5 -> truncate) stays inside whole-stage codegen —
+    no per-row Python anywhere in the band-key path (VERDICT r3 item 4:
+    the old Python ``_band_keys`` loop was 16 interpreter-level md5 calls
+    per document inside the hot signature UDF)."""
+    r = cfg.rows_per_band
+
+    def dec(i: int):
+        # decimal STRING of the i-th packed uint64 (values < 2**61, so the
+        # unsigned hex interpretation matches str(v) exactly)
+        return F.conv(F.hex(F.substring(minhash_bin, i * 8 + 1, 8)), 16, 10)
+
+    keys = []
+    for b in range(cfg.bands):
+        joined = F.concat_ws("_", *[dec(b * r + j) for j in range(r)])
+        keys.append(
+            F.conv(F.substring(F.md5(joined.cast("binary")), 1, 15), 16, 10).cast(
+                "long"
+            )
+        )
+    return F.array(*keys)
 
 
 def unpack_band_keys_expr(band_keys_bin, bands: int):

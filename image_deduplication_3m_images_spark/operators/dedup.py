@@ -160,7 +160,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    prefilter_broadcast: bool = True,
+    prefilter_broadcast: bool = False,
 ) -> DataFrame:
     """Exact token n-gram Jaccard for given candidate pairs (never all-pairs).
 
@@ -171,8 +171,10 @@ def ngram_jaccard_pairs(
     the corpus BEFORE building gram arrays — the n-gram expression chain
     (sequence + transform + concat_ws + array_distinct per doc) then runs
     only for docs that actually appear in a pair, and the corpus-wide gram
-    arrays never enter a shuffle.  Disable when the pair set is too big to
-    broadcast (same contract as verify_pairs' byte guard).
+    arrays never enter a shuffle.  OPT-IN (default False): an unconditional
+    broadcast of an unbounded pair set risks OOM, so callers enable it only
+    when the pair set is known/measured small — the same contract as
+    verify_pairs, whose callers gate on estimated pair-set bytes.
     """
     if prefilter_broadcast:
         ids = (

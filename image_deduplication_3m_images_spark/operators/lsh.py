@@ -31,14 +31,18 @@ def band_key_expr(minhash_col, band_id: int, rows_per_band: int):
 
 
 def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
-    """(id, minhash | band_keys_bin) -> (id, band_id, band_key).
+    """(id, minhash | band_keys | band_keys_bin) -> (id, band_id, band_key).
 
-    Two input shapes: the packed pipeline table carries precomputed
-    ``band_keys_bin`` (UDF-side md5, identical formula) which is unpacked with
-    hex/conv; otherwise keys are derived from the ``minhash`` array with
-    md5/conv column exprs.  Either way: whole-stage codegen, no shuffle yet.
+    Three input shapes: the pipeline table carries precomputed ``band_keys``
+    (array<long>, computed JVM-side by ``band_keys_from_packed_expr``);
+    legacy checkpointed tables may carry ``band_keys_bin`` (binary-packed,
+    unpacked with hex/conv); otherwise keys are derived from the ``minhash``
+    array with md5/conv column exprs.  Either way: whole-stage codegen, no
+    shuffle yet.
     """
-    if "band_keys_bin" in sig_df.columns:
+    if "band_keys" in sig_df.columns:
+        keys = F.col("band_keys")
+    elif "band_keys_bin" in sig_df.columns:
         from image_deduplication_3m_images_spark.functions.signatures import (
             unpack_band_keys_expr,
         )

@@ -22,14 +22,12 @@ from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.config import DedupConfig
 from image_deduplication_3m_images_spark.functions.signatures import (
+    band_keys_from_packed_expr,
     make_extract_signature_packed_udf,
 )
 from image_deduplication_3m_images_spark.functions.text import sha256_expr, with_quality
-from image_deduplication_3m_images_spark.operators.best import group_stats, pick_best
-from image_deduplication_3m_images_spark.operators.cluster import (
-    attach_singletons,
-    connected_components,
-)
+from image_deduplication_3m_images_spark.operators.best import group_stats
+from image_deduplication_3m_images_spark.operators.cluster import connected_components
 from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs, hot_bucket_stats
 from image_deduplication_3m_images_spark.operators.verify import verify_pairs
 from image_deduplication_3m_images_spark.session import hadoop_delete
@@ -53,8 +51,12 @@ def build_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("sig.text").alias("text"),
         F.col("sig.n_shingles").alias("n_shingles"),
         F.col("sig.minhash_bin").alias("minhash_bin"),
-        F.col("sig.band_keys_bin").alias("band_keys_bin"),
         F.col("sig.simhash").alias("simhash"),
+    )
+    # band keys derived JVM-side from the packed minhash (codegen; identical
+    # md5 formula as the oracle) — the UDF returns scalars/binaries only
+    sig = sig.withColumn(
+        "band_keys", band_keys_from_packed_expr(F.col("minhash_bin"), cfg)
     )
     sig = with_quality(sig, "text")
     sig = sig.withColumn("text_sha256", sha256_expr(F.col("text")))
@@ -64,7 +66,7 @@ def build_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     # representative choice is made downstream on a NARROW projection.
     return sig.select(
         ID, "text", "text_sha256", "n_shingles", "minhash_bin",
-        "band_keys_bin", "simhash", "quality",
+        "band_keys", "simhash", "quality",
     )
 
 
@@ -105,7 +107,21 @@ def run_dedupe(
         )
         return out
 
-    signatures = stage("signatures", lambda: build_signatures(pages, cfg))
+    # The signatures stage adds a dense LONG surrogate id: every downstream
+    # shuffle (band explode, pair gen, verify joins, CC iterations) moves
+    # 8-byte sids instead of ~40-byte url strings — several-fold fewer
+    # shuffled bytes in exactly the stages that scale worst (VERDICT r3
+    # item 1a).  monotonically_increasing_id is partition-dependent at
+    # GENERATION time, but the stage is checkpointed immediately: every
+    # consumer (including resume) reads the frozen table, and the final
+    # report maps back to urls with cluster_id = min(url) per component, so
+    # the OUTPUT is sid-assignment-invariant (FIXTURES.md hard part #2).
+    signatures = stage(
+        "signatures",
+        lambda: build_signatures(pages, cfg).withColumn(
+            "sid", F.monotonically_increasing_id()
+        ),
+    )
 
     if validate_extraction and "text" in pages.columns:
         mismatched = (
@@ -132,18 +148,20 @@ def run_dedupe(
     # Identical docs share identical signatures, so banding them all adds
     # zero information and quadratic pairs — on a duplicate-heavy web corpus
     # this collapses the heaviest buckets before the shuffle.  The rep frame
-    # is NARROW (sha, min url, band keys — no text/minhash), so the groupBy
+    # is NARROW (sha, min sid, band keys — no text/minhash), so the groupBy
     # shuffles ~1% of the table's bytes; identical texts have identical band
-    # keys, so first() is deterministic here.  Exact-duplicate star edges
-    # (cluster stage) restore full connectivity.
+    # keys, so first() is deterministic here.  min(sid) picks an arbitrary-
+    # but-frozen representative — which rep carries the bucket is final-
+    # output-invariant because exact-duplicate star edges (cluster stage)
+    # restore full connectivity and identical texts verify identically.
     rep_bands = (
-        signatures.select(ID, "text_sha256", "band_keys_bin")
+        signatures.select("sid", "text_sha256", "band_keys")
         .groupBy("text_sha256")
         .agg(
-            F.min(ID).alias(ID),
-            F.first("band_keys_bin").alias("band_keys_bin"),
+            F.min("sid").alias("sid"),
+            F.first("band_keys").alias("band_keys"),
         )
-        .select(ID, "band_keys_bin")
+        .select("sid", "band_keys")
     )
 
     if resume and cat.stage_complete("candidate_pairs", chash):
@@ -153,11 +171,11 @@ def run_dedupe(
         # silent (reference's bucket skip was, deduplication.py:314-317) —
         # and drives plan selection: with no hot buckets the skew tiers are
         # skipped entirely (stats-driven physical plan choice)
-        bucket_profile = hot_bucket_stats(rep_bands, cfg, id_col=ID).collect()[0].asDict()
+        bucket_profile = hot_bucket_stats(rep_bands, cfg, id_col="sid").collect()[0].asDict()
         cands = stage(
             "candidate_pairs",
             lambda: candidate_pairs(
-                rep_bands, cfg, id_col=ID,
+                rep_bands, cfg, id_col="sid",
                 max_bucket_hint=bucket_profile["max_bucket"],
             ),
             extra=bucket_profile,
@@ -166,19 +184,12 @@ def run_dedupe(
     # Verification: the pairs table is usually tiny relative to the corpus —
     # broadcast it so the signatures side is filtered MAP-SIDE (no wide
     # shuffle of text/minhash columns).  Guarded by ESTIMATED BYTES, not row
-    # count (10M rows of ~60-byte ids would be a multi-GB broadcast): one
-    # cheap agg over the checkpointed table gives rows + avg id width; a
-    # pathological pair explosion falls back to a shuffle join rather than
-    # OOMing the broadcast.
-    stats = cands.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(
-            F.length(F.col("id_a").cast("string"))
-            + F.length(F.col("id_b").cast("string"))
-        ).alias("avg_id_bytes"),
-    ).collect()[0]
-    n_pairs = stats["n"] or 0
-    est_bytes = n_pairs * ((stats["avg_id_bytes"] or 0.0) + 16)  # + per-row overhead
+    # count (10M rows of ids would be a multi-GB broadcast): one cheap agg
+    # over the checkpointed table gives the row count; sid pairs are two
+    # longs + overhead.  A pathological pair explosion falls back to a
+    # shuffle join rather than OOMing the broadcast.
+    n_pairs = cands.count()
+    est_bytes = n_pairs * 48  # 2 longs + struct/row overhead, conservative
     small_pairs = est_bytes < 256 * 1024 * 1024
     pairs_in = F.broadcast(cands) if small_pairs else cands
     verified = stage(
@@ -187,33 +198,13 @@ def run_dedupe(
             pairs_in,
             signatures,
             cfg,
-            id_col=ID,
-            texts_df=signatures.select(ID, "text"),
+            id_col="sid",
+            texts_df=signatures.select("sid", "text"),
             # when pairs are broadcastable, semi-filter the signatures map-
             # side so the corpus-wide table never shuffles (see verify.py)
             prefilter_broadcast=small_pairs,
         ),
     )
-
-    def _clusters() -> DataFrame:
-        lsh_edges = verified.where(F.col("verified")).select("id_a", "id_b")
-        # Exact-duplicate star edges (sha256 groupBy) — the cheap exact pass
-        # every production corpus dedup runs first; makes exact clusters
-        # immune to MinHash sampling noise.
-        w = Window.partitionBy("text_sha256")
-        exact_edges = (
-            signatures.select(
-                ID, "text_sha256", F.min(ID).over(w).alias("rep")
-            )
-            .where(F.col(ID) != F.col("rep"))
-            .select(F.col("rep").alias("id_a"), F.col(ID).alias("id_b"))
-        )
-        edges = lsh_edges.unionByName(exact_edges)
-        # Reliable (warehouse-backed) checkpoints for the CC iterations: an
-        # executor loss mid-loop must not kill the job on a real cluster
-        # (localCheckpoint blocks live only on executors).
-        assignments = connected_components(edges, checkpoint_dir=cc_ckpt_dir)
-        return attach_singletons(assignments, signatures.select(ID), ID)
 
     # Reliable checkpoints only help when executors can die independently of
     # the driver; on local[*] masters (single JVM) localCheckpoint is equally
@@ -228,19 +219,60 @@ def run_dedupe(
         # (cleanup below only runs on success) — clear them before starting
         hadoop_delete(spark, cc_ckpt_dir)
 
-    # CC + singleton attach + best pick fused into ONE checkpointed stage:
-    # the clusters frame is consumed exactly once (by pick_best), and the
-    # report row (url, cluster_id, quality, cluster_size, is_best) strictly
-    # contains the cluster assignment — materializing an intermediate
-    # corpus-wide clusters table bought nothing but an extra full-table
-    # write + read + lineage barrier (a fixed, parallelism-independent cost
-    # that ate scaling efficiency at small inputs).  On failure mid-stage
-    # the recompute re-runs CC, which is cheap next to a corpus-wide write;
-    # the CC loop's own durability comes from its reliable checkpoints.
-    report = stage(
-        "report",
-        lambda: pick_best(_clusters(), signatures.select(ID, "quality"), ID),
-    )
+    def _report() -> DataFrame:
+        lsh_edges = verified.where(F.col("verified")).select("id_a", "id_b")
+        # Exact-duplicate star edges (sha256 groupBy) — the cheap exact pass
+        # every production corpus dedup runs first; makes exact clusters
+        # immune to MinHash sampling noise.
+        w = Window.partitionBy("text_sha256")
+        exact_edges = (
+            signatures.select(
+                "sid", "text_sha256", F.min("sid").over(w).alias("rep")
+            )
+            .where(F.col("sid") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("sid").alias("id_b"))
+        )
+        edges = lsh_edges.unionByName(exact_edges)
+        # Reliable (warehouse-backed) checkpoints for the CC iterations: an
+        # executor loss mid-loop must not kill the job on a real cluster
+        # (localCheckpoint blocks live only on executors).  CC runs entirely
+        # in sid space: every iteration shuffles (long, long) rows.
+        assignments = connected_components(edges, checkpoint_dir=cc_ckpt_dir)
+        # Map back to urls + singleton attach + best pick in ONE pass:
+        # left join (the attach_singletons definition inlined — absent sid
+        # keeps itself as cluster) on the narrow (sid, url, quality)
+        # projection, then one window partitioning by the sid-space cluster
+        # computes min(url) (the deterministic, sid-assignment-invariant
+        # final cluster id), cluster_size, and the quality-argmax is_best
+        # together — a single exchange+sort for all three.
+        m = signatures.select("sid", ID, "quality")
+        joined = m.join(
+            assignments.withColumnRenamed("id", "sid"), "sid", "left"
+        ).select(
+            ID, "quality", F.coalesce("cluster_id", F.col("sid")).alias("csid")
+        )
+        w_sz = Window.partitionBy("csid")
+        w_rank = Window.partitionBy("csid").orderBy(
+            F.col("quality").desc(), F.col(ID).asc()
+        )
+        return joined.select(
+            ID,
+            F.min(ID).over(w_sz).alias("cluster_id"),
+            "quality",
+            F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
+            (F.row_number().over(w_rank) == 1).alias("is_best"),
+        )
+
+    # CC + singleton attach + url map-back + best pick fused into ONE
+    # checkpointed stage: the report row (url, cluster_id, quality,
+    # cluster_size, is_best) strictly contains the cluster assignment —
+    # materializing an intermediate corpus-wide clusters table bought
+    # nothing but an extra full-table write + read + lineage barrier (a
+    # fixed, parallelism-independent cost that ate scaling efficiency at
+    # small inputs).  On failure mid-stage the recompute re-runs CC, which
+    # is cheap next to a corpus-wide write; the CC loop's own durability
+    # comes from its reliable checkpoints.
+    report = stage("report", _report)
     if cc_ckpt_dir:
         # the report table is committed to the catalog by now; the CC
         # checkpoint files have served their purpose.  Hadoop FS API, not

@@ -317,8 +317,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     sig = _sig(spark, sf_dir)
+    # prefilter opt-in: the LSH pair set at any tested SF is measured tiny
+    # relative to the corpus (the pipeline's byte guard makes the same call)
     pairs = _cands(spark, sf_dir, sig).select("id_a", "id_b")
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), pairs, id_col="doc_id").select(
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), pairs, id_col="doc_id", prefilter_broadcast=True
+    ).select(
         "id_a",
         "id_b",
         F.col("n_intersect").cast("int").alias("n_intersect"),

@@ -255,14 +255,27 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
         if batch_id in done:
             return
 
+    has_old = cat.exists("signatures")
+    if has_old:
+        # Re-crawl guard: a url delivered again in a later batch is ALREADY
+        # ingested — signing it again would give the catalog two signature
+        # rows for one id (duplicated verify joins; stale edges never
+        # invalidated -> nondeterministic clusters).  Map-side two-step: the
+        # corpus id column is scanned ONCE against the broadcast batch ids
+        # (no corpus shuffle), and the resulting batch-sized `existing` set
+        # broadcast-anti-joins the batch.
+        existing = cat.read("signatures").select(ID).join(
+            F.broadcast(batch_df.select(ID).distinct()), ID, "leftsemi"
+        )
+        batch_df = batch_df.join(F.broadcast(existing), ID, "left_anti")
+
     sig_new = (
         build_signatures(batch_df, cfg)
         .withColumn("batch_id", F.lit(batch_id))
         .localCheckpoint(eager=True)  # used 4x below; batch-sized, not corpus-sized
     )
-    bands_new = explode_bands(sig_new.select(ID, "band_keys_bin"), cfg, id_col=ID)
+    bands_new = explode_bands(sig_new.select(ID, "band_keys"), cfg, id_col=ID)
 
-    has_old = cat.exists("signatures")
     if has_old:
         sig_all = cat.read("signatures").dropDuplicates([ID]).unionByName(sig_new)
         bands_all = (
@@ -286,6 +299,9 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
             F.greatest("id_n", "id_o").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        # consumed twice (byte-guard stats agg + edge append): checkpoint so
+        # the band join runs once per batch, mirroring sig_new's treatment
+        .localCheckpoint(eager=True)
     )
 
     # same byte guard as the batch pipeline: broadcast the pair set (so the

@@ -65,6 +65,12 @@ def main() -> None:
         ap.error("one of --input / --fixture is required")
         return
 
+    # box-speed constant measured just before the timed window: divide walls
+    # by this to compare runs across measurement windows on this drifting VM
+    from image_deduplication_3m_images_spark.calibration import calibration_const
+
+    calibration = calibration_const()
+
     cfg = DedupConfig()
     t0 = time.time()
     report = run_dedupe(spark, pages, args.warehouse, cfg, resume=not args.no_resume)
@@ -76,6 +82,7 @@ def main() -> None:
             "docs_per_sec": round(n / wall, 1),
             "cores": args.cores,
             "config_hash": cfg.config_hash(),
+            "calibration": calibration,
         }
     )
     # per-stage walls straight from the lineage table (written by the stage

@@ -11,9 +11,9 @@ from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.config import DedupConfig
 from image_deduplication_3m_images_spark.functions.signatures import (
+    band_keys_from_packed_expr,
     make_extract_signature_packed_udf,
     make_extract_signature_udf,
-    unpack_band_keys_expr,
 )
 from image_deduplication_3m_images_spark.operators.lsh import band_key_expr
 from image_deduplication_3m_images_spark.operators.verify import (
@@ -35,9 +35,7 @@ def _both(spark, n=80):
     ).select("url", "s.text", "s.n_shingles", "s.minhash", "s.simhash")
     packed = pages.select(
         "url", make_extract_signature_packed_udf(CFG)(F.col("html")).alias("s")
-    ).select(
-        "url", "s.text", "s.n_shingles", "s.minhash_bin", "s.band_keys_bin", "s.simhash"
-    )
+    ).select("url", "s.text", "s.n_shingles", "s.minhash_bin", "s.simhash")
     return arr, packed
 
 
@@ -55,6 +53,9 @@ def test_packed_minhash_bytes_equal_array(spark):
 
 
 def test_packed_band_keys_equal_jvm_expr(spark):
+    """The packed-binary band-key expression (conv/hex unpack -> md5) must
+    byte-match the array-path band_key_expr formula (which the DuckDB oracle
+    mirrors)."""
     arr, packed = _both(spark)
     jvm = arr.select(
         "url",
@@ -63,7 +64,8 @@ def test_packed_band_keys_equal_jvm_expr(spark):
         ).alias("keys"),
     )
     unp = packed.select(
-        "url", unpack_band_keys_expr(F.col("band_keys_bin"), CFG.bands).alias("keys")
+        "url",
+        band_keys_from_packed_expr(F.col("minhash_bin"), CFG).alias("keys"),
     )
     a = {r["url"]: list(r["keys"]) for r in jvm.collect()}
     b = {r["url"]: list(r["keys"]) for r in unp.collect()}

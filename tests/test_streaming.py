@@ -50,9 +50,9 @@ def test_stream_signatures_incremental(spark, tmp_path):
     assert got2.select("url").distinct().count() == n_total
     # signatures identical to the batch stage for the same rows: the stream
     # runs build_signatures verbatim, so it emits the packed signature schema
-    # (minhash_bin / band_keys_bin, commit fec8fc6) plus the batch id.
+    # (minhash_bin + JVM-derived band_keys) plus the batch id.
     assert set(got2.columns) >= {
-        "url", "text", "text_sha256", "minhash_bin", "band_keys_bin",
+        "url", "text", "text_sha256", "minhash_bin", "band_keys",
         "simhash", "quality", "batch_id",
     }
     # byte-level parity with the batch stage for an overlapping row sample
