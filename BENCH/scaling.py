@@ -248,19 +248,23 @@ def main() -> None:
         for r in range(repeats):
             for leg, _, _ in LEGS:
                 runs[leg].append(run_once(input_path, n_rows, leg, r))
-        primaries[n_rows] = pair(
-            best_of(runs["n"], n_rows), best_of(runs["4n"], n_rows), 4.0
-        )
-        log_run(
-            {
-                "size_done": n_rows,
-                "scaling_efficiency": primaries[n_rows]["scaling_efficiency"],
-                "scaling_efficiency_median": primaries[n_rows]["scaling_efficiency_median"],
-            }
-        )
-        # BASELINE.md is rewritten after EVERY completed size so a killed
-        # run still leaves a full report for the sizes that finished
-        write_baseline_md(primaries, sizes, repeats)
+            # recompute + rewrite the report after EVERY completed repeat:
+            # a killed run still leaves a full best-of-(r+1) report for
+            # every size and repeat that finished
+            primaries[n_rows] = pair(
+                best_of(runs["n"], n_rows), best_of(runs["4n"], n_rows), 4.0
+            )
+            log_run(
+                {
+                    "size": n_rows,
+                    "repeats_done": r + 1,
+                    "scaling_efficiency": primaries[n_rows]["scaling_efficiency"],
+                    "scaling_efficiency_median": primaries[n_rows][
+                        "scaling_efficiency_median"
+                    ],
+                }
+            )
+            write_baseline_md(primaries, sizes, repeats)
 
     print(json.dumps({"sizes": sizes, "repeats": repeats,
                       "primary_1x2_vs_4x2": {str(k): v for k, v in primaries.items()}}))

@@ -84,10 +84,30 @@ class ParquetCatalog:
         return self.snapshot_id(table)
 
     def append(self, df: DataFrame, table: str) -> None:
-        df.write.mode("append").parquet(self._path(table))
+        """Atomic append: the batch's files are written to a SIBLING tmp dir
+        and enter the table through ONE directory rename — a crash mid-write
+        can never leave partial files visible inside the table (the Iceberg
+        analog: an append snapshot commit).  Streaming `bands`/`edges`
+        appends relied on dropDuplicates-on-read to mask torn appends
+        before; now a torn append leaves only an invisible tmp dir."""
+        final = self._path(table)
+        tmp = final + "_tmp_append_" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(final, exist_ok=True)
+        os.rename(tmp, os.path.join(final, "batch_" + uuid.uuid4().hex[:8]))
+        # visibility marker (exists() contract) AFTER the data commit
+        open(os.path.join(final, "_SUCCESS"), "a").close()
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        # appended tables hold one committed subdir per batch
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self._path(table)
+        )
+
+    def drop(self, table: str) -> None:
+        p = self._path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
     def snapshot_id(self, table: str) -> str:
         """Content fingerprint of the committed table dir (file names+sizes) —
@@ -146,12 +166,14 @@ class ParquetCatalog:
         p = self._path(table)
         rows = []
         files = sorted(
-            f for f in os.listdir(p)
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(p)
+            for f in fs
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         extra_json = json.dumps(extra or {}, sort_keys=True)
         for idx, f in enumerate(files):
-            n = pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            n = pq.ParquetFile(f).metadata.num_rows
             rows.append((stage, idx, n, input_snapshot, config_hash, extra_json))
         if not rows:
             rows = [(stage, -1, 0, input_snapshot, config_hash, extra_json)]
@@ -254,6 +276,9 @@ class IcebergCatalog:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.table(self._tbl(table))
+
+    def drop(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(table)}")
 
     def snapshot_id(self, table: str) -> str:
         rows = self.spark.sql(

@@ -228,11 +228,15 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
        pair is ever re-verified across batches,
     3. verify with the same evidence exprs (signatures semi-filtered by the
        broadcast pair set when the byte guard allows),
-    4. append new signatures/bands/edges and re-run connected_components
-       over old+new edges, overwriting ``clusters`` — a duplicate arriving
-       in a later batch lands in its existing cluster (reference analog:
-       the resume loop re-running dedup over new blobs,
-       ``/root/reference/pipeline.py:464-471``).
+    4. append new signatures/bands/edges, then maintain clusters
+       INCREMENTALLY: contract new edges onto the stored cluster labels,
+       run CC on the contracted (batch-sized) graph only, and append the
+       delta — members of label-changed clusters plus this batch's docs —
+       to ``clusters_delta`` (merge-on-read; see ``read_clusters``).  A
+       duplicate arriving in a later batch lands in its existing cluster
+       (reference analog: the resume loop re-running dedup over new blobs,
+       ``/root/reference/pipeline.py:464-471``), and per-batch write bytes
+       are proportional to the touched clusters, never the corpus.
 
     Exactly-once: ``foreachBatch`` is at-least-once, so each completed batch
     id is recorded in ``_batches`` and a replay of a completed batch is a
@@ -243,7 +247,6 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
     from pyspark.sql import functions as F
 
     from image_deduplication_3m_images_spark.operators.cluster import (
-        attach_singletons,
         connected_components,
     )
     from image_deduplication_3m_images_spark.operators.lsh import explode_bands
@@ -257,15 +260,22 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
 
     has_old = cat.exists("signatures")
     if has_old:
-        # Re-crawl guard: a url delivered again in a later batch is ALREADY
+        # Re-crawl guard: a url delivered again in a LATER batch is ALREADY
         # ingested — signing it again would give the catalog two signature
         # rows for one id (duplicated verify joins; stale edges never
         # invalidated -> nondeterministic clusters).  Map-side two-step: the
         # corpus id column is scanned ONCE against the broadcast batch ids
         # (no corpus shuffle), and the resulting batch-sized `existing` set
-        # broadcast-anti-joins the batch.
-        existing = cat.read("signatures").select(ID).join(
-            F.broadcast(batch_df.select(ID).distinct()), ID, "leftsemi"
+        # broadcast-anti-joins the batch.  Rows from EARLIER batches only:
+        # a crash-replay of THIS batch id re-delivers rows whose partial
+        # appends carry the same batch_id — those must be re-processed (the
+        # dropDuplicates read heals the double-append), not filtered out
+        # (filtering them would silently lose the batch's edges/clusters).
+        existing = (
+            cat.read("signatures")
+            .where(F.col("batch_id") < F.lit(batch_id))
+            .select(ID)
+            .join(F.broadcast(batch_df.select(ID).distinct()), ID, "leftsemi")
         )
         batch_df = batch_df.join(F.broadcast(existing), ID, "left_anti")
 
@@ -321,24 +331,136 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
         texts_df=sig_all.select(ID, "text"),
         prefilter_broadcast=small_pairs,
     )
-    new_edges = verified.where(F.col("verified")).select("id_a", "id_b")
+    new_edges = (
+        verified.where(F.col("verified"))
+        .select("id_a", "id_b")
+        # consumed by the edge append AND the cluster contraction below;
+        # batch-sized
+        .localCheckpoint(eager=True)
+    )
 
     cat.append(sig_new, "signatures")
     cat.append(bands_new.withColumn("batch_id", F.lit(batch_id)), "bands")
     cat.append(new_edges.withColumn("batch_id", F.lit(batch_id)), "edges")
 
-    edges_all = (
-        cat.read("edges").dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b")
-        if cat.exists("edges")
-        else new_edges
+    # --- INCREMENTAL cluster maintenance (VERDICT r3 item 2) --------------
+    # Bytes written per batch are proportional to the TOUCHED clusters, not
+    # the corpus: new edges are CONTRACTED onto the stored cluster labels
+    # (label(x) = stored cluster id, or x itself for unseen ids), CC runs on
+    # the contracted batch-sized graph only, and the delta — members of
+    # clusters whose label changed, plus this batch's docs — is APPENDED to
+    # ``clusters_delta`` (merge-on-read; ``read_clusters`` resolves latest-
+    # per-id, ``compact_clusters`` folds the delta into the base).  The
+    # label-min invariant (cluster id = min member url) is preserved
+    # inductively: old labels are the min of their members, so min-of-labels
+    # = min-of-members for every merged component.  The stored clusters
+    # table is SCANNED map-side (broadcast batch-sized sets) but never
+    # shuffled and never rewritten.
+    maybe_bcast = F.broadcast if small_pairs else (lambda df: df)
+    new_ids = sig_new.select(F.col(ID).alias("id"))
+    has_clusters = cat.exists("clusters") or cat.exists("clusters_delta")
+    if has_clusters:
+        current = read_clusters(cat, id_col=ID).withColumnRenamed(ID, "id")
+        nodes = (
+            new_edges.select(F.col("id_a").alias("id"))
+            .unionByName(new_edges.select(F.col("id_b").alias("id")))
+            .dropDuplicates(["id"])
+        )
+        known = current.join(maybe_bcast(nodes), "id")  # map-side corpus scan
+        lmap = (
+            nodes.join(known.select("id", "cluster_id"), "id", "left")
+            .select("id", F.coalesce("cluster_id", F.col("id")).alias("lab"))
+            .localCheckpoint(eager=True)  # batch-sized, consumed 3x
+        )
+        contracted = (
+            new_edges.join(
+                maybe_bcast(lmap.select(F.col("id").alias("id_a"),
+                                        F.col("lab").alias("lab_a"))), "id_a")
+            .join(
+                maybe_bcast(lmap.select(F.col("id").alias("id_b"),
+                                        F.col("lab").alias("lab_b"))), "id_b")
+            .where(F.col("lab_a") != F.col("lab_b"))
+            .select(F.col("lab_a").alias("id_a"), F.col("lab_b").alias("id_b"))
+        )
+        assignments = connected_components(contracted)
+        changed = (
+            assignments.where(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias("old_label"),
+                    F.col("cluster_id").alias("new_label"))
+            .localCheckpoint(eager=True)  # batch-sized, consumed 2x
+        )
+        # members of clusters whose label changed — one more map-side scan
+        # of the stored clusters; output is proportional to touched clusters
+        upd_existing = current.join(
+            maybe_bcast(changed), current["cluster_id"] == F.col("old_label")
+        ).select("id", F.col("new_label").alias("cluster_id"))
+        new_rows = (
+            new_ids.join(maybe_bcast(lmap), "id", "left")
+            .select("id", F.coalesce("lab", F.col("id")).alias("lab0"))
+            .join(maybe_bcast(changed), F.col("lab0") == F.col("old_label"), "left")
+            .select("id", F.coalesce("new_label", F.col("lab0")).alias("cluster_id"))
+        )
+        delta = upd_existing.unionByName(new_rows)
+    else:
+        # first batch: everything is new — CC over the batch edges, docs
+        # without an edge become their own singleton cluster
+        assignments = connected_components(new_edges)
+        delta = new_ids.join(assignments, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    cat.append(
+        delta.select(F.col("id").alias(ID), "cluster_id")
+        .withColumn("batch_id", F.lit(batch_id)),
+        "clusters_delta",
     )
-    assignments = connected_components(edges_all)
-    all_ids = cat.read("signatures").dropDuplicates([ID]).select(ID)
-    clusters = attach_singletons(assignments, all_ids, ID)
-    cat.write(clusters, "clusters")
     cat.append(
         spark.createDataFrame([(int(batch_id),)], "batch_id long"), "_batches"
     )
+
+
+def read_clusters(cat, id_col: str = "url") -> DataFrame:
+    """Current cluster assignment = MERGE-ON-READ over base + delta: the
+    latest (max batch_id) row per id wins; the compacted base table reads as
+    batch -1.  Write cost per micro-batch is the delta (touched clusters
+    only); this read resolves precedence with one window pass — the
+    ParquetCatalog model of an Iceberg MOR table."""
+    from pyspark.sql import Window
+
+    parts = []
+    if cat.exists("clusters"):
+        parts.append(
+            cat.read("clusters").select(id_col, "cluster_id")
+            .withColumn("batch_id", F.lit(-1))
+        )
+    if cat.exists("clusters_delta"):
+        parts.append(
+            cat.read("clusters_delta").select(id_col, "cluster_id", "batch_id")
+        )
+    if not parts:
+        raise ValueError("catalog has no clusters/clusters_delta table")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("batch_id").desc(), F.col("cluster_id").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "cluster_id")
+    )
+
+
+def compact_clusters(cat, id_col: str = "url") -> None:
+    """Fold ``clusters_delta`` into the base ``clusters`` table: ONE
+    corpus-sized write, run as an explicit maintenance job when the delta
+    has grown (the Iceberg analog: snapshot compaction after MERGE
+    commits).  ``write`` materializes to a tmp dir before swapping, so
+    reading the old base while writing the new one is safe."""
+    if not cat.exists("clusters_delta"):
+        return
+    cat.write(read_clusters(cat, id_col=id_col), "clusters")
+    cat.drop("clusters_delta")
 
 
 def stream_neardup(

@@ -62,11 +62,15 @@ def main() -> None:
         return
     q.awaitTermination()
     cat = make_catalog(spark, args.warehouse)
-    if cat.exists("clusters"):
+    if cat.exists("clusters") or cat.exists("clusters_delta"):
         from pyspark.sql import functions as F
 
+        from image_deduplication_3m_images_spark.streaming.incremental import (
+            read_clusters,
+        )
+
         row = (
-            cat.read("clusters")
+            read_clusters(cat)
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.countDistinct("cluster_id").alias("n_clusters"),

@@ -122,3 +122,31 @@ def test_corrupted_stage_recomputes_not_resumes(spark, tmp_path):
     assert r1 == r2
     # the marker is back: the stage was rewritten, not trusted as-is
     assert os.path.exists(os.path.join(wh, "candidate_pairs", "_SUCCESS"))
+
+def test_parquet_append_is_atomic_under_crash(spark, tmp_path, monkeypatch):
+    """A crash between the append's data write and its commit rename must
+    leave ZERO partial rows visible — no dropDuplicates-on-read needed
+    (VERDICT r3 item 6).  The commit is one directory rename."""
+    import os
+
+    import image_deduplication_3m_images_spark.sources.checkpoint as cp
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(5).select(F.col("id").alias("x"))
+    cat.append(df, "t")
+    assert cat.exists("t") and cat.read("t").count() == 5
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(cp.os, "rename", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.append(df, "t")
+    monkeypatch.undo()
+    # the torn append is invisible: same rows, and a later append works
+    assert cat.read("t").count() == 5
+    cat.append(df, "t")
+    assert cat.read("t").count() == 10
+    # the orphaned tmp dir sits OUTSIDE the table dir (never read)
+    orphans = [d for d in os.listdir(tmp_path / "wh") if "_tmp_append_" in d]
+    assert orphans, "crash should leave only an invisible sibling tmp dir"

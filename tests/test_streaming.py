@@ -252,9 +252,14 @@ def test_stream_neardup_merges_later_duplicate_into_existing_cluster(
     q2 = stream_neardup(spark, indir, wh, ckpt)
     q2.awaitTermination(300)
 
+    from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        read_clusters,
+    )
+
     got = {
         r["url"]: r["cluster_id"]
-        for r in spark.read.parquet(f"{wh}/clusters").collect()
+        for r in read_clusters(ParquetCatalog(spark, wh)).collect()
     }
     assert len(got) == len(fx.rows)
     # each held-out doc joined the cluster its mates already formed
@@ -285,6 +290,7 @@ def test_ingest_neardup_batch_replay_is_noop(spark, tmp_path):
     from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
     from image_deduplication_3m_images_spark.streaming.incremental import (
         ingest_neardup_batch,
+        read_clusters,
     )
 
     fx = generate_pages(n_rows=60, seed=21)
@@ -294,14 +300,63 @@ def test_ingest_neardup_batch_replay_is_noop(spark, tmp_path):
     ingest_neardup_batch(spark, pages, 0, cat, cfg)
     n_sig = cat.read("signatures").count()
     n_edges = cat.read("edges").count()
+    n_delta = cat.read("clusters_delta").count()
     clusters1 = sorted(
-        (r["url"], r["cluster_id"]) for r in cat.read("clusters").collect()
+        (r["url"], r["cluster_id"]) for r in read_clusters(cat).collect()
     )
     # replay the same batch id -> complete no-op
     ingest_neardup_batch(spark, pages, 0, cat, cfg)
     assert cat.read("signatures").count() == n_sig
     assert cat.read("edges").count() == n_edges
+    assert cat.read("clusters_delta").count() == n_delta
     clusters2 = sorted(
-        (r["url"], r["cluster_id"]) for r in cat.read("clusters").collect()
+        (r["url"], r["cluster_id"]) for r in read_clusters(cat).collect()
     )
     assert clusters1 == clusters2
+
+def test_ingest_neardup_delta_proportional_to_touched_cluster(spark, tmp_path):
+    """VERDICT r3 item 2's done-criterion: when batch K touches ONE existing
+    cluster, the rows written that batch are proportional to that cluster
+    (its members + the batch docs), NOT the corpus — and the merged view
+    still equals the batch pipeline's partition."""
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        compact_clusters,
+        ingest_neardup_batch,
+        read_clusters,
+    )
+
+    fx = generate_pages(n_rows=150, seed=11)
+    truth = {t["url"]: t["expected_cluster_id"] for t in fx.truth}
+    multi = {}
+    for url, c in truth.items():
+        if c.startswith(("near_", "exact_")):
+            multi.setdefault(c, []).append(url)
+    target = next(c for c, urls in sorted(multi.items()) if len(urls) >= 3)
+    held = sorted(multi[target])[-1]  # hold out one member of ONE cluster
+
+    pages = pages_dataframe(spark, fx)
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cfg = DedupConfig()
+    ingest_neardup_batch(spark, pages.where(F.col("url") != held), 0, cat, cfg)
+    n_corpus = cat.read("clusters_delta").count()
+
+    ingest_neardup_batch(spark, pages.where(F.col("url") == held), 1, cat, cfg)
+    delta1 = cat.read("clusters_delta").where("batch_id = 1")
+    n_delta1 = delta1.count()
+    # batch 1 may touch at most: the held doc + members of its (single)
+    # target cluster — never the corpus
+    assert n_delta1 <= len(multi[target]) + 1, delta1.collect()
+    assert n_delta1 < n_corpus / 10
+
+    got = {r["url"]: r["cluster_id"] for r in read_clusters(cat).collect()}
+    assert len(got) == len(fx.rows)
+    mates = [u for u in multi[target] if u != held]
+    assert got[held] == got[mates[0]]
+
+    # compaction folds the delta into the base without changing the view
+    compact_clusters(cat)
+    assert not cat.exists("clusters_delta")
+    after = {r["url"]: r["cluster_id"] for r in read_clusters(cat).collect()}
+    assert after == got
