@@ -55,8 +55,20 @@ def join_signatures(
         F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
     )
     if prefilter_broadcast:
-        a = a.join(F.broadcast(pairs.select("id_a").distinct()), "id_a", "leftsemi")
-        b = b.join(F.broadcast(pairs.select("id_b").distinct()), "id_b", "leftsemi")
+        # ONE union id-set broadcast shared by both sides (instead of one
+        # per side): a broadcast object costs per-EXECUTOR build+transfer,
+        # so halving the objects halves a per-executor fixed cost that the
+        # 2M scaling runs showed weighing on the verify stage at higher
+        # executor counts.  The union set is a superset filter for each
+        # side — a few extra rows stream into the equi-joins, which drop
+        # them; correctness unchanged.
+        ids = F.broadcast(
+            pairs.select(F.col("id_a").alias("_pid"))
+            .unionByName(pairs.select(F.col("id_b").alias("_pid")))
+            .distinct()
+        )
+        a = a.join(ids, a["id_a"] == ids["_pid"], "leftsemi")
+        b = b.join(ids, b["id_b"] == ids["_pid"], "leftsemi")
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
@@ -73,6 +85,31 @@ def sig_matches_expr(mh_a, mh_b):
 
 def hamming_expr(sh_a, sh_b):
     return F.bit_count(sh_a.bitwiseXOR(sh_b))
+
+
+def sig_matches_packed_expr(bin_a, bin_b, num_perm: int = 128):
+    """Equal-position count over big-endian-packed MinHash binaries as a
+    PURE column expression: 128 binary-substring equality compares summed.
+
+    MEASURED AND REJECTED as the pipeline default: at num_perm=128 the
+    deep Add chain is codegen-hostile (pages e2e 11-13 s -> 33-67 s in a
+    same-window A/B at 20k docs), so ``verify_pairs`` keeps the
+    batch-vectorized Arrow kernel (``sig_matches_packed``), which the same
+    A/B measured at full speed.  Kept, tested (byte-equality with the
+    kernel is pinned in tests/test_packed_signatures.py), and documented
+    for narrow signatures (num_perm <= ~32), where a short expression
+    chain beats an Arrow round-trip."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.add,
+        (
+            (F.substring(bin_a, j * 8 + 1, 8) == F.substring(bin_b, j * 8 + 1, 8))
+            .cast("int")
+            for j in range(num_perm)
+        ),
+    )
 
 
 _MATCHES_PACKED = None

@@ -94,3 +94,66 @@ def test_packed_matches_equal_array_matches(spark):
     assert len(shared) >= 100
     for k in shared:
         assert m1[k] == m2[k]
+
+def test_packed_matches_expr_equals_arrow_kernel(spark):
+    """The pure-JVM substring-equality matches expression must byte-match
+    the Arrow kernel AND the array-path expression on every pair."""
+    from image_deduplication_3m_images_spark.operators.verify import (
+        sig_matches_packed_expr,
+    )
+
+    arr, packed = _both(spark)
+    pb = (
+        packed.alias("x")
+        .crossJoin(packed.alias("y"))
+        .where(F.col("x.url") < F.col("y.url"))
+        .limit(300)
+    )
+    rows = pb.select(
+        F.col("x.url").alias("xu"), F.col("y.url").alias("yu"),
+        sig_matches_packed(F.col("x.minhash_bin"), F.col("y.minhash_bin")).alias("m_udf"),
+        sig_matches_packed_expr(
+            F.col("x.minhash_bin"), F.col("y.minhash_bin"), CFG.num_perm
+        ).alias("m_expr"),
+    ).collect()
+    assert len(rows) >= 100
+    for r in rows:
+        assert r["m_udf"] == r["m_expr"], (r["xu"], r["yu"])
+
+
+def test_pipeline_verify_stage_single_python_boundary(spark):
+    """The verify stage's only Python is the ONE batch-vectorized Arrow
+    matches kernel — hamming/containment/verdict are codegen exprs, and no
+    row-at-a-time BatchEvalPython ever appears.  (The zero-Python
+    expression variant was measured slower at 128 perms — see
+    sig_matches_packed_expr — so exactly one ArrowEvalPython is the
+    intended shape.)"""
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.operators.verify import verify_pairs
+    from image_deduplication_3m_images_spark.plans.dedupe import build_signatures
+    from image_deduplication_3m_images_spark.sources.pages_fixture import (
+        generate_pages,
+        pages_dataframe,
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    pages = pages_dataframe(spark, generate_pages(n_rows=60, seed=5))
+    sig = build_signatures(pages, DedupConfig()).localCheckpoint(eager=True)
+    pairs = spark.createDataFrame(
+        [(r1, r2) for r1, r2 in zip(*[iter(sorted(x["url"] for x in sig.select("url").collect()))] * 2)][:10],
+        ["id_a", "id_b"],
+    )
+    out = verify_pairs(
+        F.broadcast(pairs), sig, DedupConfig(), id_col="url",
+        texts_df=sig.select("url", "text"), prefilter_broadcast=True,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(ids) == 1, f"expected exactly one Arrow boundary, got {ids}"
+    assert "BatchEvalPython" not in plan, plan[:1500]
