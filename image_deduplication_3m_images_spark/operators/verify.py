@@ -47,6 +47,16 @@ def join_signatures(
     alternative is bucketing the signatures table by id (SURVEY.md §4.2
     stage 4); the semi-filter wins whenever pairs << corpus, which LSH
     guarantees.
+
+    Broadcast discipline (VERDICT r4 item 1b — verify's ~60-70 s per-run
+    fixed cost was per-executor broadcast build/fetch): only NARROW frames
+    are ever broadcast here — the union id set (longs) and the pair table
+    (two longs).  The second equi-join's build side carries a WIDE sliver
+    (text + packed minhash per pair member); left to the planner/AQE it
+    gets broadcast too, shipping E x sliver bytes through the driver.  It
+    is pinned to a SHUFFLE hash join instead: 1x sliver bytes over the
+    wire, partitioned build memory, no driver bottleneck — the shape that
+    survives 1000 executors.
     """
     a = sig_df.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
@@ -69,6 +79,12 @@ def join_signatures(
         )
         a = a.join(ids, a["id_a"] == ids["_pid"], "leftsemi")
         b = b.join(ids, b["id_b"] == ids["_pid"], "leftsemi")
+        # join 1: narrow pairs broadcast (caller's hint) vs the map-side
+        # a-sliver; join 2: the WIDE (pairs x payload_a) intermediate must
+        # NOT be broadcast — shuffle-hash with it as the (partitioned)
+        # build side against the b-sliver.
+        j1 = a.join(pairs, "id_a")
+        return j1.hint("shuffle_hash").join(b, "id_b")
     return pairs.join(a, "id_a").join(b, "id_b")
 
 

@@ -184,13 +184,27 @@ def run_dedupe(
     # Verification: the pairs table is usually tiny relative to the corpus —
     # broadcast it so the signatures side is filtered MAP-SIDE (no wide
     # shuffle of text/minhash columns).  Guarded by ESTIMATED BYTES, not row
-    # count (10M rows of ids would be a multi-GB broadcast): one cheap agg
-    # over the checkpointed table gives the row count; sid pairs are two
-    # longs + overhead.  A pathological pair explosion falls back to a
-    # shuffle join rather than OOMing the broadcast.
-    n_pairs = cands.count()
+    # count (10M rows of ids would be a multi-GB broadcast); the count comes
+    # from the committed table's parquet footers driver-side — zero Spark
+    # jobs (the old count() was one more fixed-cost action per run).  The
+    # per-row constant assumes sid pairs (two longs): assert the schema so a
+    # regression back to string ids fails loudly instead of under-guarding
+    # the broadcast (ADVICE r4 item 3).  A pathological pair explosion falls
+    # back to a shuffle join rather than OOMing the broadcast.
+    from pyspark.sql.types import LongType
+
+    pair_types = {f.name: f.dataType for f in cands.schema.fields}
+    assert isinstance(pair_types["id_a"], LongType) and isinstance(
+        pair_types["id_b"], LongType
+    ), f"pair byte-guard assumes long ids, got {pair_types}"
+    n_pairs = cat.row_count("candidate_pairs")
     est_bytes = n_pairs * 48  # 2 longs + struct/row overhead, conservative
-    small_pairs = est_bytes < 256 * 1024 * 1024
+    # a broadcast is built once but fetched+held PER EXECUTOR: guard the
+    # CLUSTER-WIDE cost, not just the object size (VERDICT r4 item 1b)
+    from image_deduplication_3m_images_spark.session import executor_count
+
+    n_exec = executor_count(spark)
+    small_pairs = est_bytes < 256 * 1024 * 1024 and est_bytes * n_exec < 1 << 30
     pairs_in = F.broadcast(cands) if small_pairs else cands
     verified = stage(
         "verified_pairs",

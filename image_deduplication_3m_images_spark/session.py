@@ -81,6 +81,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def executor_count(spark: SparkSession) -> int:
+    """Live executor count (>= 1).  A broadcast costs build + transfer +
+    deserialize PER EXECUTOR, so byte guards must scale with this — 200 MB
+    that is fine on 4 executors is a 200 GB cluster-wide tax on 1000
+    (VERDICT r4 item 1b).  On local[*] masters the driver doubles as the
+    single executor."""
+    try:
+        infos = spark.sparkContext.statusTracker().getExecutorInfos()
+        # the driver is listed too; on local masters it IS the executor
+        return max(1, len(infos) - 1)
+    except Exception:
+        return 1
+
+
 def hadoop_delete(spark: SparkSession, path: str) -> bool:
     """Recursively delete ``path`` via the Hadoop FileSystem API.
 

@@ -69,8 +69,18 @@ class ParquetCatalog:
         return os.path.join(self.warehouse, table)
 
     def exists(self, table: str) -> bool:
+        # a table is visible if the overwrite/append marker exists OR any
+        # committed append batch dir does: an append's commit point is the
+        # batch-dir rename itself (see append), so a crash between that
+        # rename and the marker touch must not hide committed data — a later
+        # successful append would otherwise retroactively expose the orphan
+        # batch as surprise rows (ADVICE r4 item 1)
         p = self._path(table)
-        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+        if not os.path.isdir(p):
+            return False
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return True
+        return any(e.startswith("batch_") for e in os.listdir(p))
 
     # -- table io ----------------------------------------------------------
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
@@ -85,18 +95,36 @@ class ParquetCatalog:
 
     def append(self, df: DataFrame, table: str) -> None:
         """Atomic append: the batch's files are written to a SIBLING tmp dir
-        and enter the table through ONE directory rename — a crash mid-write
-        can never leave partial files visible inside the table (the Iceberg
-        analog: an append snapshot commit).  Streaming `bands`/`edges`
-        appends relied on dropDuplicates-on-read to mask torn appends
-        before; now a torn append leaves only an invisible tmp dir."""
+        and enter the table through ONE directory rename — the rename IS the
+        commit point (exists() treats any ``batch_*`` subdir as commitment,
+        so a crash right after the rename cannot hide committed data).  A
+        crash mid-write leaves only an invisible tmp dir.  Note the marker
+        gap this closes but does not remove: appends are still at-least-once
+        under replay, so streaming consumers keep dropDuplicates-on-read as
+        the idempotency layer (ADVICE r4 item 1)."""
         final = self._path(table)
         tmp = final + "_tmp_append_" + uuid.uuid4().hex[:8]
         df.write.mode("overwrite").parquet(tmp)
         os.makedirs(final, exist_ok=True)
         os.rename(tmp, os.path.join(final, "batch_" + uuid.uuid4().hex[:8]))
-        # visibility marker (exists() contract) AFTER the data commit
+        # marker kept for overwrite-path compat; exists() no longer needs it
+        # for appended tables
         open(os.path.join(final, "_SUCCESS"), "a").close()
+
+    def row_count(self, table: str) -> int:
+        """Committed row count straight from parquet FOOTERS, driver-side —
+        no Spark job, no data scan (Iceberg equivalent: manifest record
+        counts).  Used for byte-guard decisions (broadcast-or-shuffle) that
+        previously cost a full count() job per stage."""
+        import pyarrow.parquet as pq
+
+        p = self._path(table)
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
 
     def read(self, table: str) -> DataFrame:
         # appended tables hold one committed subdir per batch
@@ -286,6 +314,13 @@ class IcebergCatalog:
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return str(rows[0][0]) if rows else ""
+
+    def row_count(self, table: str) -> int:
+        """Row count from the ``.files`` manifest metadata — no data scan."""
+        rows = self.spark.sql(
+            f"SELECT COALESCE(SUM(record_count), 0) AS n FROM {self._tbl(table)}.files"
+        ).collect()
+        return int(rows[0]["n"])
 
     # -- lineage ------------------------------------------------------------
     def log_lineage(

@@ -212,10 +212,22 @@ def sessionize_stream(
     return writer.start()
 
 
-def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) -> None:
+def ingest_neardup_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    cat,
+    cfg,
+    compact_frac: float = 0.5,
+    compact_min_rows: int = 50_000,
+) -> None:
     """One incremental near-dup step over the checkpoint catalog (the
     ``foreachBatch`` body of :func:`stream_neardup`; exposed separately so
     batch tests and backfills can drive it directly).
+
+    ``compact_frac`` / ``compact_min_rows``: the ``clusters_delta``
+    auto-compaction policy — fold the delta into the base when the delta
+    exceeds BOTH bounds (see the policy block at the end).
 
     Work per batch is proportional to (new docs x matched buckets) plus CC
     over the accumulated EDGE set — never to the corpus size:
@@ -278,6 +290,14 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
             .join(F.broadcast(batch_df.select(ID).distinct()), ID, "leftsemi")
         )
         batch_df = batch_df.join(F.broadcast(existing), ID, "left_anti")
+    # WITHIN-batch re-delivery: one url twice in a micro-batch would emit two
+    # signature rows with the SAME batch_id (nondeterministic winner under
+    # dropDuplicates-on-read if the html differs) — keep one row per url
+    # before signing.  POLICY (here and for the cross-batch guard above):
+    # re-crawled content is FIRST-WRITE-WINS — a url's signatures, edges and
+    # cluster membership reflect the first html ingested for it; re-crawls
+    # with changed content are dropped, not re-clustered (ADVICE r4 item 2).
+    batch_df = batch_df.dropDuplicates([ID])
 
     sig_new = (
         build_signatures(batch_df, cfg)
@@ -413,42 +433,67 @@ def ingest_neardup_batch(spark, batch_df: DataFrame, batch_id: int, cat, cfg) ->
         .withColumn("batch_id", F.lit(batch_id)),
         "clusters_delta",
     )
+    # auto-compaction policy (VERDICT r4 item 5): an unattended stream must
+    # not let the delta grow without bound (every read pays the delta
+    # window + base anti-join).  Fold delta into base when delta rows exceed
+    # a fraction of the base (footer counts, driver-side, no jobs); the
+    # trigger and sizes go to lineage so compaction is never silent.
+    delta_rows = cat.row_count("clusters_delta")
+    base_rows = cat.row_count("clusters") if cat.exists("clusters") else 0
+    if delta_rows >= compact_min_rows and delta_rows >= compact_frac * base_rows:
+        compact_clusters(cat, id_col=ID)
+        cat.log_event(
+            "clusters_compaction",
+            cfg.config_hash(),
+            extra={
+                "batch_id": int(batch_id),
+                "delta_rows": int(delta_rows),
+                "base_rows_before": int(base_rows),
+            },
+        )
     cat.append(
         spark.createDataFrame([(int(batch_id),)], "batch_id long"), "_batches"
     )
 
 
 def read_clusters(cat, id_col: str = "url") -> DataFrame:
-    """Current cluster assignment = MERGE-ON-READ over base + delta: the
-    latest (max batch_id) row per id wins; the compacted base table reads as
-    batch -1.  Write cost per micro-batch is the delta (touched clusters
-    only); this read resolves precedence with one window pass — the
-    ParquetCatalog model of an Iceberg MOR table."""
+    """Current cluster assignment = MERGE-ON-READ over base + delta, with
+    precedence resolved DELTA-SIDE ONLY (VERDICT r4 item 3): the latest
+    (max batch_id) row per id within ``clusters_delta`` wins via a
+    delta-sized window, then the corpus-sized base contributes only ids the
+    delta doesn't carry (left_anti against the delta id set, broadcast when
+    small).  The base is SCANNED but never shuffled — per-micro-batch read
+    cost is O(delta), not an O(corpus) window shuffle.  The ParquetCatalog
+    model of an Iceberg MOR table."""
     from pyspark.sql import Window
 
-    parts = []
-    if cat.exists("clusters"):
-        parts.append(
-            cat.read("clusters").select(id_col, "cluster_id")
-            .withColumn("batch_id", F.lit(-1))
-        )
-    if cat.exists("clusters_delta"):
-        parts.append(
-            cat.read("clusters_delta").select(id_col, "cluster_id", "batch_id")
-        )
-    if not parts:
+    has_base = cat.exists("clusters")
+    has_delta = cat.exists("clusters_delta")
+    if not has_base and not has_delta:
         raise ValueError("catalog has no clusters/clusters_delta table")
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    base = cat.read("clusters").select(id_col, "cluster_id") if has_base else None
+    if not has_delta:
+        return base
+
     w = Window.partitionBy(id_col).orderBy(
         F.col("batch_id").desc(), F.col("cluster_id").asc()
     )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    delta_latest = (
+        cat.read("clusters_delta")
+        .select(id_col, "cluster_id", "batch_id")
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(id_col, "cluster_id")
     )
+    if base is None:
+        return delta_latest
+    delta_ids = delta_latest.select(id_col)
+    # footer-count byte guard (driver-side, no job): broadcast the delta id
+    # set so the base anti-join stays a map-side scan; a compaction-overdue
+    # delta falls back to a shuffle anti-join instead of OOMing the broadcast
+    if cat.row_count("clusters_delta") * 64 < 256 * 1024 * 1024:
+        delta_ids = F.broadcast(delta_ids)
+    return base.join(delta_ids, id_col, "left_anti").unionByName(delta_latest)
 
 
 def compact_clusters(cat, id_col: str = "url") -> None:
@@ -470,6 +515,8 @@ def stream_neardup(
     checkpoint_dir: str,
     cfg: DedupConfig | None = None,
     trigger_available_now: bool = True,
+    compact_frac: float = 0.5,
+    compact_min_rows: int = 50_000,
 ):
     """Incremental streaming near-dup: the full LSH -> verify -> CC loop as
     a ``foreachBatch`` stream over the checkpoint catalog (SURVEY §2.7's
@@ -488,7 +535,10 @@ def stream_neardup(
     stream = spark.readStream.schema(pages_schema).parquet(input_dir)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_neardup_batch(spark, batch_df, batch_id, cat, cfg)
+        ingest_neardup_batch(
+            spark, batch_df, batch_id, cat, cfg,
+            compact_frac=compact_frac, compact_min_rows=compact_min_rows,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_ingest)

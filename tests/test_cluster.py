@@ -54,6 +54,32 @@ def test_attach_singletons(spark):
     assert len(rows) == 3  # row preservation
 
 
+def test_cc_single_action_per_iteration(spark):
+    """Driver-action budget (VERDICT r4 item 1a): the convergence probe is
+    fused into the materializing aggregate, so a star graph — which the
+    initial neighbor-min aggregation already resolves — must finish in at
+    most THREE Spark jobs total (one fused probe+materialize iteration, one
+    final freeze checkpoint, plus at most one planner-internal job).  The
+    old eager-checkpoint + limit(1).count() formulation cost ~2 jobs per
+    iteration plus 2 setup jobs and would blow this budget."""
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(100, x) for x in (1, 2, 3, 4)], ["id_a", "id_b"]
+    )
+    group = "cc_action_budget"
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        got = {
+            r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
+        }
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert got == {100: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # collect() above is also in the group: budget = probe + freeze + collect
+    assert len(jobs) <= 4, f"CC ran {len(jobs)} jobs for a star graph: {jobs}"
+
+
 def test_connected_components_reliable_checkpoint_same_result(spark, tmp_path):
     """checkpoint_dir variant (the real-cluster path) must produce identical
     assignments to the localCheckpoint default."""

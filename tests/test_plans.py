@@ -110,7 +110,12 @@ def test_no_f_customers_is_anti_join(spark):
 def test_verify_prefilter_semi_joins_before_equijoin(spark):
     """With prefilter_broadcast the corpus-sized signatures table must be
     reduced by broadcast LEFT SEMI joins BEFORE the pair equi-joins — the
-    full table never enters an exchange."""
+    full table never enters an exchange.  And NO broadcast may carry a wide
+    payload (text / packed minhash): only the narrow pair ids and the union
+    id set are broadcast-worthy — the wide sliver join is pinned to a
+    SHUFFLE hash join, because a broadcast costs build+fetch PER EXECUTOR
+    (verify's measured ~60-70 s fixed cost at 2M docs, VERDICT r4 item 1b).
+    """
     from image_deduplication_3m_images_spark.config import DedupConfig
     from image_deduplication_3m_images_spark.functions.signatures import (
         with_signatures,
@@ -128,7 +133,13 @@ def test_verify_prefilter_semi_joins_before_equijoin(spark):
     )
     plan = plan_of(out)
     assert plan.count("LeftSemi") >= 2, plan[:2000]
-    assert "SortMergeJoin" not in plan  # everything broadcast/map-side here
+    assert "SortMergeJoin" not in plan
+    # the wide (payload-carrying) join must be a shuffle join, not broadcast
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    # every BroadcastExchange input must be NARROW: no text/minhash columns
+    for section in plan.split("\n\n"):
+        if ") BroadcastExchange" in section.split("\n")[0]:
+            assert "text" not in section and "minhash" not in section, section
 
 
 def test_ngram_jaccard_semi_filters_before_gram_build(spark):
