@@ -244,9 +244,11 @@ def ingest_neardup_batch(
        INCREMENTALLY: contract new edges onto the stored cluster labels,
        run CC on the contracted (batch-sized) graph only, and append the
        delta — members of label-changed clusters plus this batch's docs —
-       to ``clusters_delta`` (merge-on-read; see ``read_clusters``).  A
-       duplicate arriving in a later batch lands in its existing cluster
-       (reference analog: the resume loop re-running dedup over new blobs,
+       to ``clusters_delta`` (merge-on-read; ``read_clusters`` resolves
+       precedence delta-side, so the per-batch READ is also delta-bounded:
+       the base is scanned map-side, never shuffled).  A duplicate arriving
+       in a later batch lands in its existing cluster (reference analog:
+       the resume loop re-running dedup over new blobs,
        ``/root/reference/pipeline.py:464-471``), and per-batch write bytes
        are proportional to the touched clusters, never the corpus.
 
