@@ -89,7 +89,7 @@ def run_once(input_path: str, n_rows: int, leg: str, repeat: int) -> dict:
 def run_job(
     input_path: str, n_rows: int, cores: int, master: str | None,
     leg: str, repeat: int,
-) -> dict:
+) -> dict | None:
     cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "dedupe.py"),
@@ -102,8 +102,19 @@ def run_job(
     with tempfile.TemporaryDirectory(dir=shm_base()) as wh:
         out = subprocess.run(
             cmd + ["--warehouse", wh],
-            capture_output=True, text=True, cwd=REPO, check=True,
+            capture_output=True, text=True, cwd=REPO,
         )
+    if out.returncode != 0:
+        # a transient failure (co-tenant OOM window, executor loss) must not
+        # kill a multi-hour harness: log the stderr tail as evidence and let
+        # the round-robin continue — every completed repeat still lands
+        log_run(
+            {
+                "size": n_rows, "leg": leg, "repeat": repeat, "failed": True,
+                "returncode": out.returncode, "stderr_tail": out.stderr[-1500:],
+            }
+        )
+        return None
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     log_run(
@@ -131,10 +142,35 @@ def best_of(runs: list[dict], n_rows: int) -> dict:
     return best
 
 
+def calibrated_efficiencies(
+    lo_runs: list[dict], hi_runs: list[dict], factor: float
+) -> list[float]:
+    """Per-repeat calibration-normalized efficiency: repeat i's N and 4N
+    legs run back-to-back (round-robin), so dividing each wall by ITS run's
+    calibration constant cancels the box-speed drift BETWEEN the two legs'
+    windows (this VM drifts up to ~2.5x; raw best-of-N remains the primary
+    number, this is the drift-corrected read the calibration constant was
+    introduced for)."""
+    out = []
+    for lo, hi in zip(lo_runs, hi_runs):
+        cl, ch = lo.get("calibration"), hi.get("calibration")
+        if not cl or not ch:
+            continue
+        out.append(round((lo["wall_s"] / cl) / (hi["wall_s"] / ch) / factor, 3))
+    return out
+
+
 def pair(lo: dict, hi: dict, factor: float) -> dict:
-    assert all(lo[k] == hi[k] for k in SUMMARY_KEYS), (
-        f"cluster outputs differ between legs: "
-        f"{ {k: (lo[k], hi[k]) for k in SUMMARY_KEYS} }"
+    # output-identity gate across legs; a seeded/resumed run may carry None
+    # summaries (not logged per-run) — identity is then asserted by the
+    # repeats that do carry them
+    comparable = {
+        k: (lo.get(k), hi.get(k))
+        for k in SUMMARY_KEYS
+        if lo.get(k) is not None and hi.get(k) is not None
+    }
+    assert all(a == b for a, b in comparable.values()), (
+        f"cluster outputs differ between legs: {comparable}"
     )
     return {
         "docs_per_sec_n": lo["docs_per_sec"],
@@ -185,7 +221,8 @@ def write_baseline_md(primaries: dict[int, dict], sizes: list[int], repeats: int
 | local-cluster[1,2,4096] (N)  | 1 x 2 = 2 | {p['wall_s_n']} | {p['median_wall_s_n']} | {p['walls_n']} | {p['calibrations_n']} |
 | local-cluster[4,2,4096] (4N) | 4 x 2 = 8 | {p['wall_s_4n']} | {p['median_wall_s_4n']} | {p['walls_4n']} | {p['calibrations_4n']} |
 
-**Scaling efficiency: best = {p['scaling_efficiency']}, median = {p['scaling_efficiency_median']}**
+**Scaling efficiency: best = {p['scaling_efficiency']}, median = {p['scaling_efficiency_median']};
+per-repeat calibration-normalized (drift-corrected, same-repeat legs): {p.get('calibrated_efficiencies')}**
 
 Per-stage walls (best runs):
 
@@ -247,12 +284,19 @@ def main() -> None:
         runs: dict[str, list[dict]] = {leg: [] for leg, _, _ in LEGS}
         for r in range(repeats):
             for leg, _, _ in LEGS:
-                runs[leg].append(run_once(input_path, n_rows, leg, r))
+                res = run_once(input_path, n_rows, leg, r)
+                if res is not None:
+                    runs[leg].append(res)
             # recompute + rewrite the report after EVERY completed repeat:
             # a killed run still leaves a full best-of-(r+1) report for
             # every size and repeat that finished
+            if not runs["n"] or not runs["4n"]:
+                continue
             primaries[n_rows] = pair(
                 best_of(runs["n"], n_rows), best_of(runs["4n"], n_rows), 4.0
+            )
+            primaries[n_rows]["calibrated_efficiencies"] = calibrated_efficiencies(
+                runs["n"], runs["4n"], 4.0
             )
             log_run(
                 {
