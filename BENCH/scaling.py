@@ -111,7 +111,7 @@ def run_job(
         log_run(
             {
                 "size": n_rows, "leg": leg, "repeat": repeat, "failed": True,
-                "returncode": out.returncode, "stderr_tail": out.stderr[-1500:],
+                "returncode": out.returncode, "stderr_tail": out.stderr[-8000:],
             }
         )
         return None

@@ -54,9 +54,13 @@ def join_signatures(
     (two longs).  The second equi-join's build side carries a WIDE sliver
     (text + packed minhash per pair member); left to the planner/AQE it
     gets broadcast too, shipping E x sliver bytes through the driver.  It
-    is pinned to a SHUFFLE hash join instead: 1x sliver bytes over the
-    wire, partitioned build memory, no driver bottleneck — the shape that
-    survives 1000 executors.
+    is pinned to a SORT-MERGE join instead: 1x sliver bytes over the wire,
+    fully spillable on both sides, no driver bottleneck — the shape that
+    survives 1000 executors.  (Shuffled-hash was measured first and
+    rejected: its build side cannot spill, and at 2M docs x 8 shuffle
+    partitions the ~0.5 GB per-partition wide-row builds intermittently
+    OOMed the 4 GB single-executor leg; SMJ's sort is noise next to the
+    Arrow matches kernel downstream.)
     """
     a = sig_df.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
@@ -81,10 +85,9 @@ def join_signatures(
         b = b.join(ids, b["id_b"] == ids["_pid"], "leftsemi")
         # join 1: narrow pairs broadcast (caller's hint) vs the map-side
         # a-sliver; join 2: the WIDE (pairs x payload_a) intermediate must
-        # NOT be broadcast — shuffle-hash with it as the (partitioned)
-        # build side against the b-sliver.
+        # NOT be broadcast — spillable sort-merge against the b-sliver.
         j1 = a.join(pairs, "id_a")
-        return j1.hint("shuffle_hash").join(b, "id_b")
+        return j1.hint("merge").join(b, "id_b")
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
