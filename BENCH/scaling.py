@@ -59,14 +59,18 @@ def shm_base() -> str | None:
 def ensure_input(n_rows: int, cache_root: str) -> str:
     """Generate the deterministic fixture ONCE per size (32-core session),
     shared by every leg/repeat — byte-identical input by construction."""
-    path = os.path.join(cache_root, f"pages_{n_rows}")
+    # 128 files (vs 32 in rounds <=4): a real web corpus at this scale has
+    # thousands of row groups — 32 single-row-group files made every scan
+    # exactly 32 tasks, i.e. 4 waves at 8 cores with a measured ~30%
+    # wave-quantization loss.  Both legs still read byte-identical files.
+    path = os.path.join(cache_root, f"pages_{n_rows}_p128")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         gen = (
             "import sys; sys.path.insert(0, {repo!r});\n"
             "from image_deduplication_3m_images_spark.session import get_spark;\n"
             "from image_deduplication_3m_images_spark.sources.pages_fixture import pages_distributed;\n"
             "s = get_spark(cores=32);\n"
-            "pages_distributed(s, {n}, seed=42, partitions=32)"
+            "pages_distributed(s, {n}, seed=42, partitions=128)"
             ".write.mode('overwrite').parquet({path!r});\n"
             "s.stop()"
         ).format(repo=REPO, n=n_rows, path=path)

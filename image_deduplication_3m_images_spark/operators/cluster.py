@@ -81,13 +81,23 @@ def connected_components(
     session = edges.sparkSession
     aqe_before = session.conf.get("spark.sql.adaptive.enabled", "true")
     bcast_before = session.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    shuf_before = session.conf.get("spark.sql.shuffle.partitions", "8")
     session.conf.set("spark.sql.adaptive.enabled", "false")
     session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # With AQE off nothing coalesces these small iterative shuffles, so the
+    # session's big-shuffle partition count (4x cores) would cost 4x task
+    # launches per exchange per iteration.  The label/edge frames are
+    # shuffle-light: one wave of cluster-wide parallelism is the right size.
+    session.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(session.sparkContext.defaultParallelism, 4)),
+    )
     try:
         return _cc_loop(edges, max_iterations, id_a, id_b, ckpt, truncate_every)
     finally:
         session.conf.set("spark.sql.adaptive.enabled", aqe_before)
         session.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
+        session.conf.set("spark.sql.shuffle.partitions", shuf_before)
 
 
 def _cc_loop(

@@ -188,6 +188,57 @@ def candidate_pairs(
     return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
 
+def hot_bucket_probe(
+    narrow_sig: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "sid",
+    sha_col: str = "text_sha256",
+    n_rows: int | None = None,
+    target_sample: int = 50_000,
+    seed: int = 42,
+) -> dict:
+    """Sampled skew probe for the candidate-pair plan choice.
+
+    The exact bucket profile costs a full explode + corpus-wide groupBy —
+    a duplicate of the candidate stage's heaviest shuffle, run purely to
+    decide whether the skew tiers are needed.  This probe samples ~50k docs
+    (exact below that), collapses exact-duplicate texts (matching rep_bands
+    semantics), and measures the max band-bucket size in the sample.
+
+    Decision rule: hot iff ``sample_max > bucket_star_cap * fraction`` —
+    at fraction=1 this is exactly the old ``max_bucket > cap`` test; at
+    2M docs (fraction ~0.025) it fires on any bucket with >= 2 sampled
+    members.  Mega buckets (the tiers' reason to exist: thousands of
+    members) land dozens of sampled members — a miss is statistically
+    impossible; a barely-over-cap bucket can slip through, which is
+    harmless (its collect_list is ~cap rows and its pair count bounded).
+    Being wrong in the other direction just runs the general tiers on a
+    clean corpus — correct, slightly slower.  The probe result is logged
+    to lineage, so tier activation is never silent.
+    """
+    fraction = (
+        1.0 if not n_rows or n_rows <= target_sample else target_sample / n_rows
+    )
+    s = narrow_sig if fraction >= 1.0 else narrow_sig.sample(False, fraction, seed)
+    reps = s.groupBy(sha_col).agg(
+        F.min(id_col).alias(id_col), F.first("band_keys").alias("band_keys")
+    )
+    row = (
+        explode_bands(reps, cfg, id_col)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]
+    )
+    sample_max = int(row["m"] or 0)
+    hot = sample_max > cfg.bucket_star_cap * fraction
+    return {
+        "probe_fraction": round(fraction, 6),
+        "sample_max_bucket": sample_max,
+        "hot_detected": bool(hot),
+    }
+
+
 def hot_bucket_stats(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
     """Band-bucket size profile for lineage/metrics (never silent truncation —
     reference analog: the uninstrumented bucket skip at deduplication.py:314-317).

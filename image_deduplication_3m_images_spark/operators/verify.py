@@ -28,6 +28,56 @@ from pyspark.sql import functions as F
 from image_deduplication_3m_images_spark.config import DedupConfig
 
 
+def melt_assemble(
+    pairs: DataFrame, sig_df: DataFrame, id_col: str, cols
+) -> DataFrame:
+    """Assemble per-pair payload columns with ONE corpus scan + ONE shuffle.
+
+    The pair list is "melted" into two rows per pair (one per member id) and
+    broadcast; the corpus table is scanned ONCE, each row map-side joined
+    against the melt (rows not in any pair never leave the scan), and a
+    groupBy(id_a, id_b) reassembles the two sides as ``<col>_a``/``<col>_b``.
+
+    vs the previous two-sliver shape (two full corpus scans + a sort-merge
+    join of WIDE slivers): half the scanned bytes, one shuffle whose rows
+    are exactly the payload-carrying pair members (hits move once, never
+    the corpus), and no wide sort.  Requires the pair set to be broadcast-
+    small — which LSH guarantees and the caller's byte guard enforces; the
+    non-broadcast fallback is the plain two-join path in join_signatures.
+
+    ``max(when(...))`` per side is exact: each (id_a, id_b, side) group has
+    exactly one payload row (sig ids are unique), so max just selects it —
+    and Max is a declarative spill-safe aggregate for every payload type
+    used here (binary / long / string / array).
+    """
+    m = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("_mid"),
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.lit(True).alias("_is_a"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("_mid"),
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.lit(False).alias("_is_a"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.*")
+    hits = sig_df.select(
+        F.col(id_col).alias("_mid"), *[F.col(c) for c in cols]
+    ).join(F.broadcast(m), "_mid")
+    aggs = []
+    for c in cols:
+        aggs.append(F.max(F.when(F.col("_is_a"), F.col(c))).alias(f"{c}_a"))
+        aggs.append(F.max(F.when(~F.col("_is_a"), F.col(c))).alias(f"{c}_b"))
+    return hits.groupBy("id_a", "id_b").agg(*aggs)
+
+
 def join_signatures(
     pairs: DataFrame,
     sig_df: DataFrame,
@@ -37,57 +87,26 @@ def join_signatures(
 ) -> DataFrame:
     """Attach both sides' signatures to (id_a, id_b) pairs.
 
-    ``prefilter_broadcast``: when the pair set is broadcast-small, semi-join
-    BOTH signature sides against the (tiny) pair-key sets map-side FIRST —
-    the corpus-sized table then never enters a shuffle; only rows that are
-    actually part of a candidate pair (a sliver of the corpus) flow into
-    the equi-joins.  Without the prefilter the second join shuffles the
-    FULL wide signatures table (text + packed minhash) across executors —
-    measured as the dominant anti-scaling term at 1M docs.  At scale the
-    alternative is bucketing the signatures table by id (SURVEY.md §4.2
-    stage 4); the semi-filter wins whenever pairs << corpus, which LSH
-    guarantees.
+    ``prefilter_broadcast``: when the pair set is broadcast-small, use the
+    melt_assemble shape — ONE corpus scan, pair membership tested map-side
+    against the broadcast melt, one shuffle of exactly the payload-carrying
+    hit rows.  (History: round 4 ran two semi-filtered corpus scans feeding
+    a sort-merge join of wide slivers; the 2M event logs showed the two
+    scans dominating the stage — tsum 173 s + 70 s at N vs 22 s for the
+    join itself — so the single-scan melt replaced it.)
 
-    Broadcast discipline (VERDICT r4 item 1b — verify's ~60-70 s per-run
-    fixed cost was per-executor broadcast build/fetch): only NARROW frames
-    are ever broadcast here — the union id set (longs) and the pair table
-    (two longs).  The second equi-join's build side carries a WIDE sliver
-    (text + packed minhash per pair member); left to the planner/AQE it
-    gets broadcast too, shipping E x sliver bytes through the driver.  It
-    is pinned to a SORT-MERGE join instead: 1x sliver bytes over the wire,
-    fully spillable on both sides, no driver bottleneck — the shape that
-    survives 1000 executors.  (Shuffled-hash was measured first and
-    rejected: its build side cannot spill, and at 2M docs x 8 shuffle
-    partitions the ~0.5 GB per-partition wide-row builds intermittently
-    OOMed the 4 GB single-executor leg; SMJ's sort is noise next to the
-    Arrow matches kernel downstream.)
+    Without the prefilter (pair set too big to broadcast) the plain two-join
+    path runs: both joins shuffle, fully spillable, no driver bottleneck —
+    the shape that survives a pathological pair explosion.
     """
+    if prefilter_broadcast:
+        return melt_assemble(pairs.select("id_a", "id_b"), sig_df, id_col, cols)
     a = sig_df.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
     )
     b = sig_df.select(
         F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
     )
-    if prefilter_broadcast:
-        # ONE union id-set broadcast shared by both sides (instead of one
-        # per side): a broadcast object costs per-EXECUTOR build+transfer,
-        # so halving the objects halves a per-executor fixed cost that the
-        # 2M scaling runs showed weighing on the verify stage at higher
-        # executor counts.  The union set is a superset filter for each
-        # side — a few extra rows stream into the equi-joins, which drop
-        # them; correctness unchanged.
-        ids = F.broadcast(
-            pairs.select(F.col("id_a").alias("_pid"))
-            .unionByName(pairs.select(F.col("id_b").alias("_pid")))
-            .distinct()
-        )
-        a = a.join(ids, a["id_a"] == ids["_pid"], "leftsemi")
-        b = b.join(ids, b["id_b"] == ids["_pid"], "leftsemi")
-        # join 1: narrow pairs broadcast (caller's hint) vs the map-side
-        # a-sliver; join 2: the WIDE (pairs x payload_a) intermediate must
-        # NOT be broadcast — spillable sort-merge against the b-sliver.
-        j1 = a.join(pairs, "id_a")
-        return j1.hint("merge").join(b, "id_b")
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
@@ -170,6 +189,7 @@ def verify_pairs(
     text_col: str = "text",
     use_arrow_containment: bool = False,
     prefilter_broadcast: bool = False,
+    defer_containment: bool = False,
 ) -> DataFrame:
     """candidate pairs -> verified pairs with evidence columns.
 
@@ -181,10 +201,26 @@ def verify_pairs(
     ``prefilter_broadcast``: see join_signatures — pass True whenever the
     pair set is small enough to broadcast (the pipeline's byte guard
     decides); the corpus then never shuffles.
+
+    ``defer_containment`` (pipeline fast path; requires prefilter_broadcast
+    and texts): containment is a RESCUE term — it can only flip the verdict
+    of pairs that FAIL the signature tests.  With defer on, the first pass
+    assembles only signatures (text never rides the wide shuffle), and only
+    the failing residue (a fraction of the pairs) gets a second, text-only
+    assembly.  The ``verified`` flag is bit-identical to the full form;
+    the ``containment`` column is then "containment where it could matter"
+    (False for sim-passing pairs, whose containment was never evaluated) —
+    callers needing the audit column on every pair use defer off.
     """
     with_text = texts_df is not None
     packed = "minhash_bin" in sig_df.columns
     mh_col = "minhash_bin" if packed else "minhash"
+    if defer_containment and with_text and prefilter_broadcast and (
+        text_col in sig_df.columns
+    ):
+        return _verify_deferred(
+            pairs, sig_df, cfg, id_col, text_col, mh_col, use_arrow_containment
+        )
     if with_text and text_col in sig_df.columns:
         # one join per side carrying signatures AND text together — half the
         # shuffles of separate signature/text joins
@@ -246,6 +282,82 @@ def verify_pairs(
 
     out = with_containment(out, texts_df, id_col, text_col, use_arrow_containment)
     return out.withColumn("verified", sim_ok | F.col("containment"))
+
+
+def _verify_deferred(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    text_col: str,
+    mh_col: str,
+    use_arrow_containment: bool,
+) -> DataFrame:
+    """Two-pass verification: signatures first, text only for the residue.
+
+    Pass A: melt-assemble (minhash, simhash) — ONE narrow corpus scan, text
+    never shuffles — then the signature verdict.  The narrow result (four
+    scalar columns per pair) is persisted and materialized ONCE so the
+    residue branch and the final join both read the cache instead of
+    re-running the corpus scan.
+
+    Pass B: pairs failing the signature tests get a text-only melt assembly
+    (scans just the text column, for residue members only) and the
+    containment check; a left join folds the rescue verdict back.
+
+    The cache is a few MB per million pairs (ids + two ints) — left to
+    Spark's LRU once the caller materializes the stage.
+    """
+    matches_fn = sig_matches_packed if mh_col == "minhash_bin" else sig_matches_expr
+    assembled = melt_assemble(
+        pairs.select("id_a", "id_b"), sig_df, id_col, (mh_col, "simhash")
+    )
+    min_matches = math.ceil(cfg.jaccard_threshold * cfg.num_perm)
+    pass_a = assembled.select(
+        "id_a",
+        "id_b",
+        matches_fn(F.col(f"{mh_col}_a"), F.col(f"{mh_col}_b")).alias("sig_matches"),
+        hamming_expr(F.col("simhash_a"), F.col("simhash_b")).alias("hamming"),
+    ).withColumn(
+        "_sim_ok",
+        (F.col("sig_matches") >= F.lit(min_matches))
+        | (F.col("hamming") <= F.lit(cfg.hamming_max)),
+    ).persist()
+    pass_a.count()  # materialize once, before the plan forks below
+
+    residue = pass_a.where(~F.col("_sim_ok")).select("id_a", "id_b")
+    resid_texts = melt_assemble(residue, sig_df, id_col, (text_col,))
+    if use_arrow_containment:
+        rescued = _arrow_containment(
+            resid_texts.select(
+                "id_a",
+                "id_b",
+                F.col(f"{text_col}_a").alias("_text_a"),
+                F.col(f"{text_col}_b").alias("_text_b"),
+            )
+        )
+    else:
+        rescued = resid_texts.select(
+            "id_a",
+            "id_b",
+            (
+                F.contains(F.col(f"{text_col}_b"), F.col(f"{text_col}_a"))
+                | F.contains(F.col(f"{text_col}_a"), F.col(f"{text_col}_b"))
+            ).alias("containment"),
+        )
+    return (
+        pass_a.join(rescued, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "sig_matches",
+            "hamming",
+            F.coalesce("containment", F.lit(False)).alias("containment"),
+            (F.col("_sim_ok") | F.coalesce("containment", F.lit(False))).alias(
+                "verified"
+            ),
+        )
+    )
 
 
 def _arrow_containment(df: DataFrame) -> DataFrame:

@@ -28,7 +28,10 @@ from image_deduplication_3m_images_spark.functions.signatures import (
 from image_deduplication_3m_images_spark.functions.text import sha256_expr, with_quality
 from image_deduplication_3m_images_spark.operators.best import group_stats
 from image_deduplication_3m_images_spark.operators.cluster import connected_components
-from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs, hot_bucket_stats
+from image_deduplication_3m_images_spark.operators.lsh import (
+    candidate_pairs,
+    hot_bucket_probe,
+)
 from image_deduplication_3m_images_spark.operators.verify import verify_pairs
 from image_deduplication_3m_images_spark.session import hadoop_delete
 from image_deduplication_3m_images_spark.sources.checkpoint import make_catalog
@@ -167,16 +170,22 @@ def run_dedupe(
     if resume and cat.stage_complete("candidate_pairs", chash):
         cands = cat.read("candidate_pairs")
     else:
-        # band-bucket profile goes into lineage so hot-key starring is never
-        # silent (reference's bucket skip was, deduplication.py:314-317) —
-        # and drives plan selection: with no hot buckets the skew tiers are
-        # skipped entirely (stats-driven physical plan choice)
-        bucket_profile = hot_bucket_stats(rep_bands, cfg, id_col="sid").collect()[0].asDict()
+        # sampled band-bucket skew probe: drives plan selection (with no hot
+        # buckets the skew tiers are skipped — stats-driven physical plan
+        # choice) and goes into lineage so hot-key starring is never silent
+        # (reference's bucket skip was, deduplication.py:314-317).  Sampled
+        # because the exact profile duplicated the candidate stage's
+        # heaviest shuffle just to pick the plan (see hot_bucket_probe).
+        bucket_profile = hot_bucket_probe(
+            signatures.select("sid", "text_sha256", "band_keys"),
+            cfg,
+            n_rows=cat.row_count("signatures"),
+        )
+        hint = None if bucket_profile["hot_detected"] else 0
         cands = stage(
             "candidate_pairs",
             lambda: candidate_pairs(
-                rep_bands, cfg, id_col="sid",
-                max_bucket_hint=bucket_profile["max_bucket"],
+                rep_bands, cfg, id_col="sid", max_bucket_hint=hint
             ),
             extra=bucket_profile,
         )
@@ -198,7 +207,9 @@ def run_dedupe(
         pair_types["id_b"], LongType
     ), f"pair byte-guard assumes long ids, got {pair_types}"
     n_pairs = cat.row_count("candidate_pairs")
-    est_bytes = n_pairs * 48  # 2 longs + struct/row overhead, conservative
+    # melt form: 2 broadcast rows per pair, each (3 longs + flag) + row
+    # overhead — conservative per-pair constant
+    est_bytes = n_pairs * 96
     # a broadcast is built once but fetched+held PER EXECUTOR: guard the
     # CLUSTER-WIDE cost, not just the object size (VERDICT r4 item 1b)
     from image_deduplication_3m_images_spark.session import executor_count
@@ -214,9 +225,15 @@ def run_dedupe(
             cfg,
             id_col="sid",
             texts_df=signatures.select("sid", "text"),
-            # when pairs are broadcastable, semi-filter the signatures map-
-            # side so the corpus-wide table never shuffles (see verify.py)
+            # when pairs are broadcastable, the single-scan melt assembly
+            # runs and the corpus-wide table never shuffles (see verify.py);
+            # defer_containment keeps text out of the wide shuffle entirely —
+            # only the sim-failing residue pays a text assembly.  The
+            # checkpointed `containment` column is therefore the rescue
+            # verdict (False for sim-passing pairs); `verified` is identical
+            # to the full form.
             prefilter_broadcast=small_pairs,
+            defer_containment=small_pairs,
         ),
     )
 

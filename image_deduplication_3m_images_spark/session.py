@@ -26,7 +26,13 @@ def get_spark(
     partitions and UDF warmup are sized right)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # 4x the core count: big shuffles get several reduce waves (a single
+    # 1-wave layout makes the slowest key a straggler the other cores wait
+    # on — measured on the 2M scaling pair), while AQE coalescing collapses
+    # small shuffles back down, so tiny stages don't pay 4x task launches.
+    # Iterative operators that disable AQE size their own partitions
+    # (see connected_components).
+    shuffle_partitions = shuffle_partitions or max(4 * cores, 8)
     multi_jvm = master.startswith("local-cluster")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
@@ -38,6 +44,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Finer scan granularity: checkpoint tables are large (the corpus-
+        # wide signatures table dominates), and CPU-bound Arrow-UDF stages
+        # want many more tasks than files — 32 MB splits + 32 MB row groups
+        # give every scan enough tasks that the last wave's straggler is
+        # small relative to the stage (128 MB defaults left 8-core legs
+        # with 4 waves of 32 tasks and a measured ~30% wave-quantization
+        # loss at 2M docs).  On a 1000-executor cluster the same reasoning
+        # applies per stage; the compression cost of 32 MB row groups is
+        # a few percent.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
         # local mode puts all executor threads in the driver JVM: size the heap
         # for the box (128 GiB here), not for a remote driver — an undersized
         # heap makes 32 threads GC-thrash and *anti*-scale.  In local-cluster
@@ -56,6 +73,13 @@ def get_spark(
         # long stages make the wait irrelevant anyway).
         .config("spark.locality.wait", "0s")
     )
+    # ad-hoc conf overrides for experiments/diagnostics (e.g. event logging
+    # for scaling-loss attribution): "k=v;k2=v2" — never set in production
+    # paths, parsed last so it can override any default above
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if multi_jvm:
         # local-cluster[n,c,mem]: each executor JVM must size its internal
         # threadpools (GC, JIT, netty) for ITS c cores, not the host's —

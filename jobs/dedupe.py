@@ -53,7 +53,7 @@ def main() -> None:
         if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
             # distributed executor-side generation; fixed partition count so
             # runs at different core counts read byte-identical input layouts
-            pages_distributed(spark, args.fixture, seed=42, partitions=32).write.mode(
+            pages_distributed(spark, args.fixture, seed=42, partitions=128).write.mode(
                 "overwrite"
             ).parquet(input_path)
         pages = spark.read.parquet(input_path)

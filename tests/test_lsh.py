@@ -90,3 +90,34 @@ def test_candidate_pairs_leaves_no_cached_blocks(spark):
     leaked = persisted_ids() - before  # other tests' blocks may be GC'd away;
     # only NEW blocks surviving the calls count as a leak
     assert not leaked, f"candidate_pairs leaked cached RDD ids {sorted(leaked)}"
+
+def test_hot_bucket_probe_detects_hot_and_clears_clean(spark):
+    """The sampled skew probe fires on a rep-space hot bucket (many DISTINCT
+    texts sharing a band key) and stays off for a clean corpus — in both the
+    exact and the sampled regime.  Note the probe works in rep space on
+    purpose: a bomb of IDENTICAL texts collapses to one representative and
+    correctly needs no skew tier (exact-first design)."""
+    from image_deduplication_3m_images_spark.operators.lsh import hot_bucket_probe
+
+    n_hot, n_clean = 400, 4000
+    hot_keys = [1000 + b for b in range(CFG.bands)]
+    rows = [(i, f"sha_hot_{i}", hot_keys) for i in range(n_hot)] + [
+        (n_hot + i, f"sha_u_{i}", [10_000 + i * CFG.bands + b for b in range(CFG.bands)])
+        for i in range(n_clean)
+    ]
+    df = spark.createDataFrame(
+        rows, "sid long, text_sha256 string, band_keys array<long>"
+    )
+    n = n_hot + n_clean
+    exact = hot_bucket_probe(df, CFG, n_rows=n, target_sample=n)
+    assert exact["probe_fraction"] == 1.0 and exact["hot_detected"], exact
+    sampled = hot_bucket_probe(df, CFG, n_rows=n, target_sample=n // 10)
+    assert sampled["probe_fraction"] == 0.1 and sampled["hot_detected"], sampled
+
+    clean = df.where(~F.col("text_sha256").startswith("sha_hot"))
+    assert not hot_bucket_probe(clean, CFG, n_rows=n_clean, target_sample=n_clean)[
+        "hot_detected"
+    ]
+    assert not hot_bucket_probe(
+        clean, CFG, n_rows=n_clean, target_sample=n_clean // 10
+    )["hot_detected"]

@@ -157,3 +157,38 @@ def test_pipeline_verify_stage_single_python_boundary(spark):
     ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
     assert len(ids) == 1, f"expected exactly one Arrow boundary, got {ids}"
     assert "BatchEvalPython" not in plan, plan[:1500]
+
+
+def test_verify_deferred_containment_equivalent_verdicts(spark):
+    """defer_containment: identical (id_a, id_b, sig_matches, hamming,
+    verified) to the full form; `containment` may be False where the full
+    form says True ONLY for pairs that already pass the signature tests
+    (the rescue was not needed) — never the other way around."""
+    from image_deduplication_3m_images_spark.operators.lsh import candidate_pairs
+    from image_deduplication_3m_images_spark.operators.verify import verify_pairs
+    from image_deduplication_3m_images_spark.plans.dedupe import build_signatures
+
+    pages = pages_dataframe(spark, generate_pages(n_rows=200, seed=7))
+    sig = build_signatures(pages, CFG).localCheckpoint(eager=True)
+    pairs = candidate_pairs(sig, CFG, id_col="url").select("id_a", "id_b")
+    kw = dict(
+        id_col="url", texts_df=sig.select("url", "text"), prefilter_broadcast=True
+    )
+    full = verify_pairs(F.broadcast(pairs), sig, CFG, **kw).collect()
+    defer = verify_pairs(
+        F.broadcast(pairs), sig, CFG, defer_containment=True, **kw
+    ).collect()
+    fm = {(r["id_a"], r["id_b"]): r for r in full}
+    dm = {(r["id_a"], r["id_b"]): r for r in defer}
+    assert fm.keys() == dm.keys() and fm, f"{len(fm)} vs {len(dm)} pairs"
+    # the fixture must actually exercise the rescue path
+    assert any(r["containment"] and not (r["sig_matches"] >= 90 or r["hamming"] <= 3) for r in full)
+    for k, f in fm.items():
+        d = dm[k]
+        assert (f["sig_matches"], f["hamming"], f["verified"]) == (
+            d["sig_matches"], d["hamming"], d["verified"]
+        ), (k, f, d)
+        if f["containment"] != d["containment"]:
+            # only allowed on sim-passing pairs, and only full=True/defer=False
+            assert f["containment"] and not d["containment"], (k, f, d)
+            assert f["sig_matches"] >= 90 or f["hamming"] <= 3, (k, f, d)

@@ -134,9 +134,15 @@ def test_verify_prefilter_semi_joins_before_equijoin(spark):
         texts_df=docs, prefilter_broadcast=True,
     )
     plan = plan_of(out)
-    assert plan.count("LeftSemi") >= 2, plan[:2000]
-    # the wide (payload-carrying) join must be a shuffle join, not broadcast
-    assert "SortMergeJoin" in plan, plan[:2000]
+    # melt shape: the corpus is scanned ONCE (exactly one parquet scan node
+    # in the tree), map-side joined against the broadcast melt
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # no wide sort-merge join of slivers (the pre-round-5 shape)
+    assert "SortMergeJoin" not in plan, plan[:2000]
     # every BroadcastExchange input must be NARROW: no text/minhash columns
     for section in plan.split("\n\n"):
         if ") BroadcastExchange" in section.split("\n")[0]:
