@@ -272,17 +272,49 @@ Reproduce: `python BENCH/scaling.py {','.join(str(s) for s in sizes)} {repeats}`
         f.write(md)
 
 
+def seed_primaries_from_log(sizes: list[int], repeats: int) -> dict[int, dict]:
+    """Rebuild the report entry for sizes whose evidence is already banked in
+    BENCH/scaling_runs.jsonl, so a partial rerun (e.g. 4M only) does not wipe
+    the earlier sizes from BASELINE.md.  Takes the LAST ``repeats`` successful
+    runs per leg — i.e. the most recent harness invocation's clean repeats."""
+    per_leg: dict[tuple[int, str], list[dict]] = {}
+    try:
+        with open(RUNS_LOG) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("failed") or "leg" not in rec or "wall_s" not in rec:
+                    continue
+                per_leg.setdefault((rec["size"], rec["leg"]), []).append(rec)
+    except FileNotFoundError:
+        return {}
+    out: dict[int, dict] = {}
+    for n_rows in sizes:
+        lo = per_leg.get((n_rows, "n"), [])[-repeats:]
+        hi = per_leg.get((n_rows, "4n"), [])[-repeats:]
+        if not lo or not hi:
+            continue
+        p = pair(best_of(lo, n_rows), best_of(hi, n_rows), 4.0)
+        p["calibrated_efficiencies"] = calibrated_efficiencies(lo, hi, 4.0)
+        out[n_rows] = p
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sizes = (
         [int(s) for s in args[0].split(",")] if args else [2000000, 4000000]
     )
     repeats = int(args[1]) if len(args) > 1 else 3
+    seed_sizes = []
+    for a in sys.argv[1:]:
+        if a.startswith("--seed="):
+            seed_sizes = [int(s) for s in a.split("=", 1)[1].split(",")]
 
     cache_root = os.path.join(shm_base() or tempfile.gettempdir(), "spark_graft_inputs")
     os.makedirs(cache_root, exist_ok=True)
 
-    primaries: dict[int, dict] = {}
+    primaries: dict[int, dict] = seed_primaries_from_log(seed_sizes, repeats)
+    report_sizes = seed_sizes + sizes
     for n_rows in sizes:
         input_path = ensure_input(n_rows, cache_root)
         runs: dict[str, list[dict]] = {leg: [] for leg, _, _ in LEGS}
@@ -312,7 +344,7 @@ def main() -> None:
                     ],
                 }
             )
-            write_baseline_md(primaries, sizes, repeats)
+            write_baseline_md(primaries, report_sizes, repeats)
 
     print(json.dumps({"sizes": sizes, "repeats": repeats,
                       "primary_1x2_vs_4x2": {str(k): v for k, v in primaries.items()}}))
