@@ -135,6 +135,68 @@ def make_signlsh_buckets_udf(tables: list):
     return buckets_udf
 
 
+def signlsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine >= threshold)
+    via multi-table sign-LSH self-join — the dedup-shaped sibling of
+    ``signlsh_topk`` (reference analog: the cosine similarity graph of
+    ``/root/reference/modules/deduplication.py:1207-1254``, built there by
+    brute-force matrix products per group).
+
+    Scale shape: bucket ids come from one Arrow UDF pass per join side
+    (a self-join evaluates its input subtree twice; a 100 TB run persists /
+    checkpoints the bucketed projection first, as the minhash pipeline does
+    for its signatures), then the sides equi-join on (table, bucket) — the
+    canonical LSH-dedup shuffle, never all-pairs; hot buckets fall to AQE's
+    skew-join split, and the sort-merge path spills instead of OOMing.
+    Cosine is a codegen array expression evaluated per collision, filtered
+    BEFORE the distinct so the dedup shuffle carries only surviving
+    (id_a, id_b, cosine) rows.
+
+    Recall: P(bit) = 1 - theta/pi, per-table p**n_planes, union over
+    n_tables; at this default (4 bits x 8 tables) a cosine-0.4 pair collides
+    with prob ~0.75, a cosine-0.9 pair with prob ~0.999.  Both sides of the
+    oracle evaluate the IDENTICAL literal-hyperplane buckets, so the
+    correctness check is exact even though recall is approximate.
+    """
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    budf = make_signlsh_buckets_udf(tables)
+    # posexplode applied DIRECTLY to the UDF call: materializing the UDF
+    # column first (withColumn) lets CollapseProject duplicate the UDF into
+    # two stacked ArrowEvalPython nodes — every row would pay the kernel
+    # twice (plan-tested in tests/test_plans.py)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(budf(vec_col)).alias("tab", "bucket"),
+    )
+    a = c.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tab", "bucket"
+    )
+    b = c.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tab", "bucket"
+    )
+    return (
+        a.join(b, ["tab", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,21 +232,18 @@ def signlsh_topk(
     """
     tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     budf = make_signlsh_buckets_udf(tables)
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        )
-        .withColumn("bkts", budf("c_vec"))
-        .select(
-            "neighbor_id", "c_vec", F.posexplode("bkts").alias("tab", "bucket")
-        )
+    # posexplode DIRECTLY over the UDF call — a separate withColumn lets
+    # CollapseProject duplicate the UDF into two stacked ArrowEvalPython
+    # nodes (double kernel cost per row); this shape plans exactly one
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.posexplode(budf(vec_col)).alias("tab", "bucket"),
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
-        .withColumn("bkts", budf("q_vec"))
-        .select("query_id", "q_vec", F.posexplode("bkts").alias("tab", "bucket"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(budf(vec_col)).alias("tab", "bucket"),
     )
     if multiprobe:
         probes = F.array(

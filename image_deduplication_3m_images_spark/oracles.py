@@ -222,6 +222,39 @@ def _signlsh_topk_sql(
     """
 
 
+def _signlsh_neardup_sql(
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    threshold: float = 0.4,
+) -> str:
+    """Oracle for the LSH near-dup pair query: identical per-table
+    hyperplane literals, self-join USING (tab, bucket) with id_a < id_b,
+    exact cosine filter, DISTINCT over cross-table collision dups —
+    mirrors signlsh_neardup_pairs(n_planes=4, n_tables=8) exactly."""
+    from image_deduplication_3m_images_spark.operators.similarity import hyperplanes
+
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    parts = [
+        f"SELECT id, vec, {t} AS tab, {_signlsh_bucket_sql('vec', planes)} AS bucket "
+        "FROM (SELECT vec_id AS id, embedding AS vec FROM embeddings)"
+        for t, planes in enumerate(tables)
+    ]
+    c_union = " UNION ALL ".join(parts)
+    return f"""
+        WITH c AS ({c_union}),
+        scored AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+            list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+              / (sqrt(list_sum(list_transform(a.vec, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(b.vec, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+          FROM c a JOIN c b USING (tab, bucket) WHERE a.id < b.id
+        )
+        SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
 # Media fixture derivation (mirrors functions/multimodal.py): payload =
 # UTF-8 bytes of documents.text with planted duplicates (id % 10 == 9 copies
 # id - 9), kind = doc_id % 3 (0=image,1=video,2=audio), fake decode = pure
@@ -441,6 +474,7 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= 5
         """,
         "embedding_topk_lsh": _signlsh_topk_sql(),
+        "embedding_neardup": _signlsh_neardup_sql(),
         "brand_revenue": """
             SELECT r_name, n_name, p_brand,
                    count(*)::BIGINT AS n_items,

@@ -44,6 +44,7 @@ from image_deduplication_3m_images_spark.operators.lsh import (
 )
 from image_deduplication_3m_images_spark.operators.similarity import (
     brute_force_topk,
+    signlsh_neardup_pairs,
     signlsh_topk,
 )
 from image_deduplication_3m_images_spark.operators.verify import verify_pairs
@@ -372,6 +373,17 @@ def q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the whole corpus: multi-table
+    sign-LSH self-join (8 tables x 4 bits), exact cosine filter at the
+    fixture-calibrated threshold 0.4 (the synthetic embeddings' top pair
+    similarity is ~0.51; a production near-dup corpus retunes the threshold
+    up and the bits/tables with it).  Oracle evaluates the identical
+    literal-hyperplane buckets, so the match is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    return signlsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (batch form): per user, events closer than
     30 minutes belong to one session.  One window pass (lag + running sum
@@ -609,6 +621,7 @@ ALL_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_neardup": q_embedding_neardup,
     "image_features": q_image_features,
     "media_dedup": q_media_dedup,
     "frame_samples": q_frame_samples,

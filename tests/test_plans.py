@@ -184,6 +184,30 @@ def test_hamming_block_pairs_single_shuffle_small_tier(spark):
         sig.unpersist()
 
 
+def test_embedding_neardup_bucket_join_shape(spark):
+    """The LSH near-dup self-join must be an equi-join on (tab, bucket) —
+    never a cartesian product — and each join side must evaluate the bucket
+    UDF EXACTLY ONCE (posexplode applied directly to the UDF call; routing
+    it through withColumn lets CollapseProject duplicate the UDF into two
+    stacked ArrowEvalPython nodes, doubling the kernel cost per row)."""
+    import re
+
+    plan = plan_of(Q.q_embedding_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(ids) == 2, f"bucket UDF re-evaluated: {ids}"
+
+
+def test_embedding_topk_lsh_single_udf_pass_per_side(spark):
+    """Same duplication guard for the ANN query: one ArrowEvalPython per
+    side (corpus + broadcast probe set) — two node ids total."""
+    import re
+
+    plan = plan_of(Q.q_embedding_topk_lsh(spark, SF))
+    ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(ids) == 2, f"bucket UDF re-evaluated: {ids}"
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Co-located join via bucketing: two tables bucketed by the join key
     into the same bucket count join WITHOUT an exchange on either side —

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from image_deduplication_3m_images_spark.plans.queries import load
 from image_deduplication_3m_images_spark.operators.similarity import (
     brute_force_topk,
+    cosine_expr,
+    signlsh_neardup_pairs,
     signlsh_topk,
 )
 
@@ -57,3 +59,34 @@ def test_signlsh_recall_floor(spark):
     # empirically 0.98 on this fixture; 0.8 is the regression floor (and
     # the north-rule recall bar for the dedup path)
     assert recall >= 0.8, f"signlsh recall {recall:.3f} below floor"
+
+
+def test_neardup_pairs_subset_of_exact_and_recall(spark):
+    emb = load(spark, SF, "embeddings")
+    got = signlsh_neardup_pairs(emb, threshold=0.4).collect()
+    # fixture-calibrated threshold yields a non-trivial pair set
+    assert len(got) > 10
+    # canonical orientation, threshold respected, no duplicate pairs
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.4 for r in got)
+    keys = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(keys) == len(set(keys))
+    # every reported pair is in the EXACT >=0.4 set (LSH only loses recall,
+    # never reports a false positive — the cosine filter is exact)
+    e = emb.select("vec_id", "embedding")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .where(F.col("c") >= 0.4)
+        .collect()
+    }
+    assert set(keys) <= exact
+    recall = len(keys) / len(exact)
+    # analytic collision prob at cosine 0.4 with 4 bits x 8 tables ~ 0.75;
+    # 0.5 is the regression floor
+    assert recall >= 0.5, f"neardup recall {recall:.3f} below floor"
