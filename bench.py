@@ -73,6 +73,7 @@ def main() -> None:
         "ngram_jaccard",
         "embedding_topk",
         "embedding_topk_lsh",
+        "embedding_neardup",
         "token_stats",
         "quality",
         "langid",
