@@ -64,6 +64,8 @@ def main() -> None:
         "pricing_summary",
         "top_nations",
         "exact_dedup",
+        "repetition_stats",
+        "boilerplate_ngrams",
         "signature_digest",
         "candidate_pairs",
         "verified_pairs",

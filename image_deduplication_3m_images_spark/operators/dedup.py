@@ -207,3 +207,114 @@ def ngram_jaccard_pairs(
         union.alias("n_union"),
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    (id, text) -> (id, n_tokens, n_distinct, n_bigrams, top_bigram_count,
+    dup_token_frac, top_bigram_frac).  ``dup_token_frac`` is the fraction of
+    tokens that are repeats of an earlier token (1 - distinct/total);
+    ``top_bigram_frac`` is the share of all word bigrams taken by the most
+    frequent one — the two cheapest of the Gopher repetition filters
+    (Rae et al. 2021, table A1) and the standard pre-LSH quality gate in a
+    web-corpus pipeline.
+
+    Scale shape: token counts are pure codegen column expressions (no UDF,
+    no shuffle); the bigram mode needs a per-(doc, bigram) count, done as
+    explode -> two-level groupBy, so only (8-byte id, ~2-token string) rows
+    ever enter an exchange — the corpus text column itself never shuffles.
+    The final join back to the per-doc stats is id-keyed and AQE picks
+    broadcast vs SMJ by measured size.  Fractions are emitted as plain IEEE
+    divisions (no rounding) so the DuckDB oracle reproduces them bit-for-bit.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col,
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+        "toks",
+    )
+    bigrams = base.where(F.col("n_tokens") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - 2),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").cast("int").alias("top_bigram_count"),
+            F.sum("c").cast("int").alias("n_bigrams"),
+        )
+    )
+    joined = base.drop("toks").join(per_doc, id_col, "left")
+    n_tok_d = F.col("n_tokens").cast("double")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.col("n_distinct").cast("double") / n_tok_d)
+        .alias("dup_token_frac"),
+        F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+        .otherwise(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams").cast("double")
+        )
+        .alias("top_bigram_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style cross-document boilerplate detection: word ``n``-grams that
+    occur in at least ``min_docs`` DISTINCT documents (navigation chrome,
+    cookie banners, license footers).  (corpus) -> (ngram, n_docs,
+    n_occurrences), the removal list a training-data pipeline anti-joins
+    against before tokenization (Raffel et al. 2020 §2.2 dropped any
+    three-sentence span seen more than once; the n-gram form is the
+    word-level equivalent).
+
+    Scale shape: explode to (id, ngram) rows, then TWO explicit hash
+    aggregations — per (ngram, id) first, per ngram second — so map-side
+    partial aggregation applies at both levels and no countDistinct expand
+    is ever planned; only (8-byte id, n-token string) rows shuffle, the text
+    column never does.  At 100 TB the ngram strings would be fingerprinted
+    to 8-byte hashes before the exchange (same trick as the LSH band keys);
+    kept as strings here so the output is directly greppable/joinable.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toked = df.select(F.col(id_col), toks.alias("toks")).where(F.size("toks") >= n)
+    grams = toked.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram", id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

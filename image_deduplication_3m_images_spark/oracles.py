@@ -371,6 +371,51 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             FROM documents
         """,
         "quality": f"SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents",
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(toks)::INT AS n_tokens,
+                     len(list_distinct(toks))::INT AS n_distinct, toks
+              FROM toks
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM toks WHERE len(toks) >= 2
+            ), bgc AS (
+              SELECT doc_id, max(c)::INT AS top_bigram_count, sum(c)::INT AS n_bigrams
+              FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_distinct,
+                   coalesce(bgc.n_bigrams, 0) AS n_bigrams,
+                   coalesce(bgc.top_bigram_count, 0) AS top_bigram_count,
+                   CASE WHEN b.n_tokens = 0 THEN 0.0
+                        ELSE 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)
+                   END AS dup_token_frac,
+                   CASE WHEN bgc.n_bigrams IS NULL THEN 0.0
+                        ELSE bgc.top_bigram_count / CAST(bgc.n_bigrams AS DOUBLE)
+                   END AS top_bigram_frac
+            FROM base b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
+        """,
+        "boilerplate_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])) AS ngram
+              FROM toks WHERE len(toks) >= 5
+            ), per_doc AS (
+              SELECT ngram, doc_id, count(*) AS c FROM grams GROUP BY 1, 2
+            )
+            SELECT ngram, count(*)::BIGINT AS n_docs, sum(c)::BIGINT AS n_occurrences
+            FROM per_doc GROUP BY ngram HAVING count(*) >= 3
+        """,
         "langid": f"""
             WITH scored AS (
               SELECT doc_id, {s_en} AS score_en, {s_de} AS score_de,

@@ -33,8 +33,10 @@ from image_deduplication_3m_images_spark.operators.cluster import (
     connected_components,
 )
 from image_deduplication_3m_images_spark.operators.dedup import (
+    boilerplate_ngrams,
     exact_duplicates,
     ngram_jaccard_pairs,
+    repetition_stats,
     simhash_block_pairs,
 )
 from image_deduplication_3m_images_spark.operators.lsh import (
@@ -180,6 +182,16 @@ def q_fingerprint(spark, sf_dir):
 
 
 # --- dedup operators ----------------------------------------------------------
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals per document (dup-token / top-bigram fracs)."""
+    return repetition_stats(_docs(spark, sf_dir), "doc_id")
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """C4-style cross-document boilerplate 5-grams (>= 3 distinct docs)."""
+    return boilerplate_ngrams(_docs(spark, sf_dir), "doc_id", n=5, min_docs=3)
+
 
 def q_exact_dedup(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir), "doc_id").select(
@@ -610,6 +622,8 @@ ALL_QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
+    "repetition_stats": q_repetition_stats,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "lsh_bands": q_lsh_bands,
     "candidate_pairs": q_candidate_pairs,
     "verified_pairs": q_verified_pairs,
