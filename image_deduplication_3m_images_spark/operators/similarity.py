@@ -41,7 +41,39 @@ def _norm_expr(a):
 
 
 def cosine_expr(a, b):
+    """Exact cosine as a column expression.  Spark evaluates higher-order
+    functions INTERPRETED per element (~10 us per 64-dim cosine measured) —
+    fine for per-query candidate sets (top-k), too slow for corpus-scale
+    pair verification, which uses ``make_cosine_udf`` instead.  Unrolling
+    the fold into a literal 64-term Add chain was built and MEASURED WORSE:
+    the generated method exceeds janino's 64 KB limit with norms inline
+    (hard fallback) and HotSpot's ~8 KB JIT threshold even with norms
+    hoisted, so the 'codegen' form ran in the JVM bytecode interpreter at
+    ~73 us/pair — 7x slower than this HOF form."""
     return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def make_cosine_udf():
+    """Vectorized Arrow cosine for pair-verification hot paths: one numpy
+    batch pass, bit-identical to ``cosine_expr`` and to the DuckDB oracle's
+    ``list_sum`` (np.cumsum's last element reproduces the left fold's
+    sequential accumulation order exactly — np.dot/np.sum use pairwise
+    summation and round differently; same technique as
+    ``make_signlsh_buckets_udf``).  Byte-equality pinned in
+    tests/test_similarity.py."""
+
+    @F.pandas_udf("double")
+    def cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        dot = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    return cosine_udf
 
 
 def brute_force_topk(
@@ -151,15 +183,21 @@ def signlsh_neardup_pairs(
     ``/root/reference/modules/deduplication.py:1207-1254``, built there by
     brute-force matrix products per group).
 
-    Scale shape: bucket ids come from one Arrow UDF pass per join side
-    (a self-join evaluates its input subtree twice; a 100 TB run persists /
-    checkpoints the bucketed projection first, as the minhash pipeline does
-    for its signatures), then the sides equi-join on (table, bucket) — the
-    canonical LSH-dedup shuffle, never all-pairs; hot buckets fall to AQE's
-    skew-join split, and the sort-merge path spills instead of OOMing.
-    Cosine is a codegen array expression evaluated per collision, filtered
-    BEFORE the distinct so the dedup shuffle carries only surviving
-    (id_a, id_b, cosine) rows.
+    Scale shape: the bucket self-join carries ONLY (id, tab, bucket) — 24-byte
+    rows, never the vectors (carrying 64-float vectors through the collision
+    shuffle was measured 2-5x slower at sf0.1 and widens every exchange ~20x
+    at any scale).  Collisions dedup to distinct (id_a, id_b) BEFORE cosine,
+    so a pair colliding in k tables pays one cosine, not k (~22% fewer evals
+    on this fixture; up to n_tables-fold on a true near-dup corpus, where
+    close pairs collide in most tables).  Vectors join back onto the deduped
+    pairs afterwards — the corpus side is a plain columnar scan (broadcast
+    when small, AQE-planned shuffle join on id at 100 TB).  Bucket ids come
+    from one Arrow UDF pass per join side (a self-join evaluates its input
+    subtree twice; a 100 TB run checkpoints the bucketed projection first,
+    as the minhash pipeline does for its signatures); hot buckets fall to
+    AQE's skew-join split, and the sort-merge path spills instead of OOMing.
+    Cosine is one vectorized Arrow batch pass over the deduped pairs
+    (``make_cosine_udf`` — bit-identical to the column-expression form).
 
     Recall: P(bit) = 1 - theta/pi, per-table p**n_planes, union over
     n_tables; at this default (4 bits x 8 tables) a cosine-0.4 pair collides
@@ -175,25 +213,33 @@ def signlsh_neardup_pairs(
     # twice (plan-tested in tests/test_plans.py)
     c = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.posexplode(budf(vec_col)).alias("tab", "bucket"),
     )
-    a = c.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tab", "bucket"
-    )
-    b = c.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tab", "bucket"
-    )
-    return (
+    a = c.select(F.col("id").alias("id_a"), "tab", "bucket")
+    b = c.select(F.col("id").alias("id_b"), "tab", "bucket")
+    pairs = (
         a.join(b, ["tab", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
         .distinct()
+    )
+    # cosine on the deduped pairs is the hot verification loop — one numpy
+    # Arrow batch pass (see make_cosine_udf for why both JVM expression
+    # forms measured slower here).  asNondeterministic: the function is
+    # pure, but without it PushPredicateThroughNonJoin substitutes the
+    # threshold filter below the projection and the kernel runs TWICE per
+    # pair (plan-tested: exactly one cosine ArrowEvalPython node)
+    cos_udf = make_cosine_udf().asNondeterministic()
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        pairs.join(
+            v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+        )
+        .join(
+            v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b"
+        )
+        .select("id_a", "id_b", cos_udf("vec_a", "vec_b").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -194,8 +194,11 @@ def test_embedding_neardup_bucket_join_shape(spark):
 
     plan = plan_of(Q.q_embedding_neardup(spark, SF))
     assert "CartesianProduct" not in plan
+    # exactly 3 Arrow nodes: bucket UDF once per self-join side (ids-only
+    # projections) + the vectorized cosine over the deduped pairs; a 4th
+    # would mean CollapseProject duplicated a kernel
     ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
-    assert len(ids) == 2, f"bucket UDF re-evaluated: {ids}"
+    assert len(ids) == 3, f"unexpected Arrow node count: {ids}"
 
 
 def test_embedding_topk_lsh_single_udf_pass_per_side(spark):

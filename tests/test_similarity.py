@@ -90,3 +90,29 @@ def test_neardup_pairs_subset_of_exact_and_recall(spark):
     # analytic collision prob at cosine 0.4 with 4 bits x 8 tables ~ 0.75;
     # 0.5 is the regression floor
     assert recall >= 0.5, f"neardup recall {recall:.3f} below floor"
+
+
+def test_arrow_cosine_bit_identical_to_hof(spark):
+    """The vectorized Arrow cosine (numpy cumsum left fold) must be
+    BIT-identical to the higher-order-function column expression — the
+    contract that lets the near-dup query verify pairs in one numpy batch
+    pass while the DuckDB oracle keeps hash-matching (its list_sum is the
+    same sequential fold)."""
+    from image_deduplication_3m_images_spark.operators.similarity import (
+        make_cosine_udf,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb")
+        )
+    )
+    cos_udf = make_cosine_udf()
+    mismatch = pairs.where(
+        cos_udf("va", "vb") != cosine_expr(F.col("va"), F.col("vb"))
+    ).count()
+    assert mismatch == 0
