@@ -190,6 +190,7 @@ def verify_pairs(
     use_arrow_containment: bool = False,
     prefilter_broadcast: bool = False,
     defer_containment: bool = False,
+    release: list | None = None,
 ) -> DataFrame:
     """candidate pairs -> verified pairs with evidence columns.
 
@@ -211,6 +212,12 @@ def verify_pairs(
     the ``containment`` column is then "containment where it could matter"
     (False for sim-passing pairs, whose containment was never evaluated) —
     callers needing the audit column on every pair use defer off.
+
+    ``release``: the deferred path persists an intermediate frame the result
+    depends on; pass a list to receive it and ``unpersist`` once the result
+    is materialized/checkpointed.  Without it the cache is left to Spark's
+    LRU — fine for one-shot jobs, but a long-lived driver calling this per
+    micro-batch would accumulate one dead cached frame per call.
     """
     with_text = texts_df is not None
     packed = "minhash_bin" in sig_df.columns
@@ -219,7 +226,8 @@ def verify_pairs(
         text_col in sig_df.columns
     ):
         return _verify_deferred(
-            pairs, sig_df, cfg, id_col, text_col, mh_col, use_arrow_containment
+            pairs, sig_df, cfg, id_col, text_col, mh_col, use_arrow_containment,
+            release=release,
         )
     if with_text and text_col in sig_df.columns:
         # one join per side carrying signatures AND text together — half the
@@ -292,6 +300,7 @@ def _verify_deferred(
     text_col: str,
     mh_col: str,
     use_arrow_containment: bool,
+    release: list | None = None,
 ) -> DataFrame:
     """Two-pass verification: signatures first, text only for the residue.
 
@@ -305,8 +314,10 @@ def _verify_deferred(
     (scans just the text column, for residue members only) and the
     containment check; a left join folds the rescue verdict back.
 
-    The cache is a few MB per million pairs (ids + two ints) — left to
-    Spark's LRU once the caller materializes the stage.
+    The cache is a few MB per million pairs (ids + two ints); pass
+    ``release`` to unpersist it once the stage is checkpointed (otherwise
+    it is left to Spark's LRU — one dead frame per call on a long-lived
+    driver).
     """
     matches_fn = sig_matches_packed if mh_col == "minhash_bin" else sig_matches_expr
     assembled = melt_assemble(
@@ -324,6 +335,8 @@ def _verify_deferred(
         | (F.col("hamming") <= F.lit(cfg.hamming_max)),
     ).persist()
     pass_a.count()  # materialize once, before the plan forks below
+    if release is not None:
+        release.append(pass_a)
 
     residue = pass_a.where(~F.col("_sim_ok")).select("id_a", "id_b")
     resid_texts = melt_assemble(residue, sig_df, id_col, (text_col,))

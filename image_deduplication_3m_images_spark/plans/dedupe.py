@@ -217,6 +217,7 @@ def run_dedupe(
     n_exec = executor_count(spark)
     small_pairs = est_bytes < 256 * 1024 * 1024 and est_bytes * n_exec < 1 << 30
     pairs_in = F.broadcast(cands) if small_pairs else cands
+    _vp_release: list = []
     verified = stage(
         "verified_pairs",
         lambda: verify_pairs(
@@ -234,8 +235,14 @@ def run_dedupe(
             # to the full form.
             prefilter_broadcast=small_pairs,
             defer_containment=small_pairs,
+            release=_vp_release,
         ),
     )
+    # the stage is checkpointed (written + re-read): verify's internal
+    # pass-A cache is dead weight now — without this, every run_dedupe call
+    # on a long-lived driver leaks one cached frame
+    for _df in _vp_release:
+        _df.unpersist(blocking=False)
 
     # Reliable checkpoints only help when executors can die independently of
     # the driver; on local[*] masters (single JVM) localCheckpoint is equally
