@@ -86,6 +86,9 @@ def main() -> None:
         "user_sessions",
         "group_avg_sim",
         "test_path_flags",
+        "url_dedup",
+        "pii_stats",
+        "length_quantiles",
         "image_features",
         "media_dedup",
         "frame_samples",

@@ -198,3 +198,60 @@ def is_test_path_expr(path_col):
     for p in patterns:
         pred = pred | lower.contains(p)
     return pred
+
+
+# ---------------------------------------------------------------------------
+# Web-pipeline hygiene ops: canonical-URL normalization and PII scrubbing.
+# Both are pure codegen column expressions (no UDF): at 100 TB these run
+# inside the scan's WholeStageCodegen span, so the dedup / redaction cost is
+# the cost of reading the column.  Reference analog: the path-normalization
+# the reference applies before using blob paths as identity keys
+# (``/root/reference/modules/deduplication.py:761-774`` normalizes case and
+# separators before the predicate) — generalized here to the URL identity
+# rules every web-corpus dedup (CCNet / RefinedWeb-style) applies before
+# exact dedup.
+# ---------------------------------------------------------------------------
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of a raw URL, as ONE column expression.
+
+    Rules (the standard URL-dedup identity): lowercase; drop the scheme;
+    drop a leading ``www.``; drop query string and fragment; drop trailing
+    slashes.  Deliberately conservative — no path re-encoding, no tracking-
+    param allowlists — so the same rule is trivially mirrored in ANSI SQL
+    (the DuckDB oracle) and in any downstream system.
+    """
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word boundaries —
+# no lookarounds or backrefs (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts_exprs(text: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (emails / phones / IPv4s) as codegen
+    ``regexp_count`` expressions."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+    }
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Text with PII spans replaced by typed placeholder tokens — the
+    scrub-before-training transform.  Order matters: emails first (an email
+    can contain digits that would otherwise partially match the IP rule
+    after phone redaction), then phones, then IPs; the oracle SQL applies
+    the same order."""
+    t = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    t = F.regexp_replace(t, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(t, PII_IPV4_RE, "[IP]")

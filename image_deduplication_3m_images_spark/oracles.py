@@ -585,6 +585,65 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
                OR contains(lower(path), '.tmp')) AS is_test
             FROM paths
         """,
+        "url_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id, n_chars,
+                (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN 'WWW.Example.COM'
+                         WHEN doc_id % 6 = 3 THEN 'www.example.com'
+                         ELSE 'example.com' END)
+                || '/articles/' || (doc_id % 41)
+                || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || doc_id
+                         WHEN doc_id % 5 = 0 THEN '/'
+                         ELSE '' END) AS raw_url
+              FROM documents
+            ), canon AS (
+              SELECT doc_id, n_chars, raw_url,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  lower(raw_url), '^https?://', ''), '^www\.', ''),
+                  '[?#].*$', ''), '/+$', '') AS canon_url
+              FROM raw
+            )
+            SELECT doc_id, raw_url, canon_url,
+              (row_number() OVER (
+                 PARTITION BY canon_url ORDER BY n_chars DESC, doc_id ASC
+               ) = 1) AS is_kept
+            FROM canon
+        """,
+        "pii_stats": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                text
+                || (CASE WHEN doc_id % 11 = 0
+                     THEN ' Contact: user' || doc_id || '@Example.COM for details.'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 0
+                     THEN ' Call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now.'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 0
+                     THEN ' Logged from 10.0.' || (doc_id % 256) || '.7.'
+                     ELSE '' END) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+              len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}'))::INT AS n_phones,
+              len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ips,
+              sha256(
+                regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+              ) AS redacted_sha256
+            FROM planted
+        """,
+        "length_quantiles": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+            FROM documents GROUP BY lang
+        """,
         "image_features": f"""
             WITH {_MEDIA_FEATURES_CTE.strip()}
             SELECT media_id, width, height, n_bytes, phash64 FROM feats

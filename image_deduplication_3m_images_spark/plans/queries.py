@@ -334,6 +334,121 @@ def q_test_path_flags(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup — the exact-dup pass every web corpus runs FIRST
+    (before any content hashing): normalize raw URLs to a canonical identity
+    and keep the best document per canonical URL (longest, then lowest id).
+
+    documents has no url column, so raw URLs are synthesized with a
+    deterministic planting rule (scheme / www-prefix / case / tracking-query
+    / trailing-slash noise keyed off doc_id) mirrored verbatim in the oracle
+    SQL — the operator under test is ``canonical_url_expr`` + the windowed
+    keep-best, both pure codegen (no UDF, one exchange at 100 TB).
+    """
+    from image_deduplication_3m_images_spark.functions.text import (
+        canonical_url_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 6 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 6 == 3, F.lit("www.example.com"))
+        .otherwise(F.lit("example.com")),
+        F.lit("/articles/"),
+        (d % 41).cast("string"),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), d.cast("string")),
+        )
+        .when(d % 5 == 0, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id",
+        "n_chars",
+        raw.alias("raw_url"),
+        canonical_url_expr(raw).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return urls.select(
+        "doc_id",
+        "raw_url",
+        "canon_url",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII detection + redaction — scrub-before-training hygiene.  Synthetic
+    PII (emails / NANP phones / IPv4s) is planted deterministically (rule
+    mirrored in the oracle), then counted with codegen ``regexp_count`` and
+    redacted with ordered ``regexp_replace``; the redacted text is proven
+    equal to the oracle's byte-for-byte via sha256, without shipping the
+    corpus through the compare."""
+    from image_deduplication_3m_images_spark.functions.text import (
+        pii_counts_exprs,
+        redact_pii_expr,
+        sha256_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" Contact: user"), d.cast("string"),
+                F.lit("@Example.COM for details."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" Call +1-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" now."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 17 == 0,
+            F.concat(F.lit(" Logged from 10.0."), (d % 256).cast("string"), F.lit(".7.")),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts_exprs(planted)
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        sha256_expr(redact_pii_expr(planted)).alias("redacted_sha256"),
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language corpus length profile: exact p50/p90/p99 of n_chars.
+    ``percentile`` (exact, linear interpolation — same definition as the
+    oracle's ``quantile_cont``) runs as a partial-merge aggregate: one
+    shuffle of per-partition sketches, never a per-group sort of the corpus.
+    The per-language length CDF is what sets a training pipeline's document
+    truncation and packing thresholds."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    pct = F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct[0], 4).alias("p50_chars"),
+            F.round(pct[1], 4).alias("p90_chars"),
+            F.round(pct[2], 4).alias("p99_chars"),
+        )
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     return simhash_block_pairs(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -644,4 +759,7 @@ ALL_QUERIES = {
     "no_f_customers": q_no_f_customers,
     "user_sessions": q_user_sessions,
     "test_path_flags": q_test_path_flags,
+    "url_dedup": q_url_dedup,
+    "pii_stats": q_pii_stats,
+    "length_quantiles": q_length_quantiles,
 }

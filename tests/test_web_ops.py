@@ -1,0 +1,105 @@
+"""Web-pipeline hygiene ops: canonical-URL dedup and PII scrub.
+
+The oracle parity harness proves the full queries against DuckDB; these
+unit tests pin the EDGE semantics of the expressions themselves on
+handcrafted rows (cases a synthetic corpus may not cover every round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.functions.text import (
+    canonical_url_expr,
+    pii_counts_exprs,
+    redact_pii_expr,
+)
+
+
+def _one_col(spark, values, fn, out="v"):
+    df = spark.createDataFrame([(v,) for v in values], ["raw"])
+    rows = df.select(fn(F.col("raw")).alias(out)).collect()
+    return [r[out] for r in rows]
+
+
+def test_canonical_url_cases(spark):
+    cases = {
+        # scheme + www + case + query + trailing slash all stripped
+        "https://WWW.Example.COM/Articles/7/?utm_source=x#frag": "example.com/articles/7",
+        "http://example.com/articles/7": "example.com/articles/7",
+        # www only stripped as a PREFIX label, not mid-host
+        "https://news.www-like.com/a": "news.www-like.com/a",
+        # multiple trailing slashes collapse
+        "example.com/a///": "example.com/a",
+        # bare host with fragment only
+        "https://example.com#top": "example.com",
+        # scheme-less input is already canonical-ish
+        "WWW.EXAMPLE.COM/A?b=1": "example.com/a",
+    }
+    got = _one_col(spark, list(cases), canonical_url_expr)
+    assert got == list(cases.values())
+
+
+def test_canonical_url_distinct_hosts_stay_distinct(spark):
+    urls = ["https://a.example.com/x", "https://b.example.com/x"]
+    got = _one_col(spark, urls, canonical_url_expr)
+    assert got[0] != got[1]
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "write to First.Last+tag@sub.Example.ORG or ops@a.io, "
+        "call +1-555-0100, backup +1-555-9999; host 10.1.2.3 and 192.168.0.254."
+    )
+    df = spark.createDataFrame([(text,)], ["t"])
+    c = pii_counts_exprs(F.col("t"))
+    row = df.select(
+        c["n_emails"].alias("e"),
+        c["n_phones"].alias("p"),
+        c["n_ips"].alias("i"),
+        redact_pii_expr(F.col("t")).alias("red"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (2, 2, 2)
+    red = row["red"]
+    for token, n in (("[EMAIL]", 2), ("[PHONE]", 2), ("[IP]", 2)):
+        assert red.count(token) == n, red
+    # nothing PII-shaped survives redaction
+    assert "@" not in red and "+1-" not in red and "10.1.2.3" not in red
+
+
+def test_pii_redaction_order_email_before_ip(spark):
+    # digits inside an email's host must be consumed by the EMAIL rule, not
+    # half-eaten by the IP rule (the ordering contract in redact_pii_expr)
+    text = "x 1.2.3.4@9.8.7.6.com y"
+    red = _one_col(spark, [text], redact_pii_expr)[0]
+    assert red == "x [EMAIL] y"
+
+
+def test_pii_clean_text_untouched(spark):
+    text = "plain prose with version 1.2 and price 3,4 but no pii"
+    df = spark.createDataFrame([(text,)], ["t"])
+    c = pii_counts_exprs(F.col("t"))
+    row = df.select(
+        c["n_emails"].alias("e"), c["n_phones"].alias("p"), c["n_ips"].alias("i"),
+        redact_pii_expr(F.col("t")).alias("red"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (0, 0, 0)
+    assert row["red"] == text
+
+
+def test_url_dedup_keeps_exactly_one_per_canonical(spark):
+    from image_deduplication_3m_images_spark.plans.queries import q_url_dedup
+
+    out = q_url_dedup(spark, "/root/testdata/sf0.001").cache()
+    per_key = (
+        out.groupBy("canon_url")
+        .agg(
+            F.sum(F.col("is_kept").cast("int")).alias("kept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert per_key and all(r["kept"] == 1 for r in per_key)
+    # the synthetic planting rule collides: dedup must actually drop rows
+    assert any(r["n"] > 1 for r in per_key)
+    out.unpersist()
