@@ -89,6 +89,8 @@ def main() -> None:
         "url_dedup",
         "pii_stats",
         "length_quantiles",
+        "doc_packing",
+        "stratified_sample",
         "image_features",
         "media_dedup",
         "frame_samples",

@@ -255,3 +255,14 @@ def redact_pii_expr(text: Column) -> Column:
     t = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
     t = F.regexp_replace(t, PII_PHONE_RE, "[PHONE]")
     return F.regexp_replace(t, PII_IPV4_RE, "[IP]")
+
+
+def hash_bucket_expr(key: Column, n_buckets: int = 1000) -> Column:
+    """Deterministic [0, n_buckets) bucket from a key — the seed-free,
+    partition-independent alternative to ``rand()`` for sampling: the same
+    key lands in the same bucket on any engine (mirrored verbatim in the
+    DuckDB oracle), so samples are reproducible and referentially stable
+    across re-runs, resumes, and engines.  15 hex chars = 60 bits, so the
+    modulo bias at n_buckets=1000 is negligible (<2^-50)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % F.lit(n_buckets)

@@ -637,6 +637,33 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
               ) AS redacted_sha256
             FROM planted
         """,
+        "doc_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS offset,
+                   (coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 512)::BIGINT AS pack_id
+            FROM t
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000)::INT
+                       AS sample_bucket,
+                     CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500
+                               WHEN 'fr' THEN 500 WHEN 'es' THEN 500
+                               WHEN 'zh' THEN 250 ELSE 0 END AS rate
+              FROM documents
+            )
+            SELECT doc_id, lang, sample_bucket FROM b WHERE sample_bucket < rate
+        """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,

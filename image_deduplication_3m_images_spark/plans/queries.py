@@ -429,6 +429,45 @@ def q_pii_stats(spark, sf_dir):
     )
 
 
+def q_doc_packing(spark, sf_dir):
+    """Sequence packing ("concat and chop") — every doc's global token
+    offset and pack id at a 512-token budget, computed with the two-phase
+    distributed prefix sum in ``operators/packing.py`` (no single-partition
+    window; the oracle uses the naive global cumsum, which is exactly what
+    the distributed form must equal)."""
+    from image_deduplication_3m_images_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens_ws_expr(F.col("text")).alias("n_tokens")
+    )
+    # small bucket size so the sf0.01 gate exercises MULTIPLE buckets (the
+    # phase-2 offsets path), not just the single-bucket degenerate case
+    return pack_documents(docs, budget=512, bucket_rows=100)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing sample — per-language keep rates applied with a
+    deterministic md5 hash bucket instead of ``rand()`` (partition-dependent,
+    engine-specific), so the sample is reproducible, resumable, and
+    oracle-checkable.  The standard corpus-rebalance pass before training:
+    downsample the dominant language, keep more of the rare ones."""
+    from image_deduplication_3m_images_spark.functions.text import (
+        hash_bucket_expr,
+    )
+
+    rates = {"en": 100, "de": 500, "fr": 500, "es": 500, "zh": 250}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = hash_bucket_expr(F.col("doc_id"))
+    rate = F.lit(0)
+    for lang, permille in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", bucket.cast("int").alias("sample_bucket")
+    ).where(F.col("sample_bucket") < rate)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language corpus length profile: exact p50/p90/p99 of n_chars.
     ``percentile`` (exact, linear interpolation — same definition as the
@@ -762,4 +801,6 @@ ALL_QUERIES = {
     "url_dedup": q_url_dedup,
     "pii_stats": q_pii_stats,
     "length_quantiles": q_length_quantiles,
+    "doc_packing": q_doc_packing,
+    "stratified_sample": q_stratified_sample,
 }

@@ -103,3 +103,53 @@ def test_url_dedup_keeps_exactly_one_per_canonical(spark):
     # the synthetic planting rule collides: dedup must actually drop rows
     assert any(r["n"] > 1 for r in per_key)
     out.unpersist()
+
+
+def test_pack_documents_invariants(spark):
+    from image_deduplication_3m_images_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 23) for i in range(0, 300, 3)],  # sparse ids
+        ["doc_id", "n_tokens"],
+    )
+    out = pack_documents(docs, budget=64, bucket_rows=16).orderBy("doc_id")
+    rows = out.collect()
+    assert len(rows) == 100  # every doc exactly once
+    # offsets are the exact exclusive prefix sum in doc_id order
+    run = 0
+    for r in rows:
+        assert r["offset"] == run, (r, run)
+        assert r["pack_id"] == run // 64
+        run += r["n_tokens"]
+
+
+def test_pack_documents_distributed_equals_single_bucket(spark):
+    from image_deduplication_3m_images_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i * 11 + (i % 5), 1 + (i % 37)) for i in range(500)],
+        ["doc_id", "n_tokens"],
+    ).repartition(8)
+    many = pack_documents(docs, budget=100, bucket_rows=13)
+    one = pack_documents(docs, budget=100, bucket_rows=1_000_000_000)
+    assert many.exceptAll(one).isEmpty() and one.exceptAll(many).isEmpty()
+
+
+def test_pack_documents_corpus_window_is_partitioned(spark):
+    # the corpus-side cumsum must window PER BUCKET; only the tiny
+    # bucket-offsets frame may use the unpartitioned global window
+    from image_deduplication_3m_images_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame([(i, 5) for i in range(50)], ["doc_id", "n_tokens"])
+    plan = pack_documents(docs, budget=64, bucket_rows=8)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    partitioned = [w for w in windows if "_bucket" in w]
+    assert partitioned, plan  # per-bucket window present
