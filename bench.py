@@ -91,6 +91,7 @@ def main() -> None:
         "length_quantiles",
         "doc_packing",
         "stratified_sample",
+        "contamination",
         "image_features",
         "media_dedup",
         "frame_samples",

@@ -664,6 +664,26 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             )
             SELECT doc_id, lang, sample_bucket FROM b WHERE sample_bucket < rate
         """,
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+              FROM toks
+            ), eval_grams AS (
+              SELECT list(DISTINCT g) AS eg
+              FROM (SELECT unnest(grams) AS g FROM grams WHERE doc_id % 50 = 0)
+            )
+            SELECT doc_id,
+                   len(list_intersect(grams, eg))::INT AS n_hits,
+                   (len(list_intersect(grams, eg)) >= 1) AS is_contaminated
+            FROM grams, eval_grams
+            WHERE doc_id % 50 <> 0
+        """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,

@@ -468,6 +468,23 @@ def q_stratified_sample(spark, sf_dir):
     ).where(F.col("sample_bucket") < rate)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs with ``doc_id % 50 == 0`` play the
+    held-out eval set (planting rule mirrored in the oracle); every OTHER
+    doc is checked for 5-gram overlap with it.  The documents table plants
+    exact/near duplicates, so contamination genuinely fires across the
+    split.  Corpus side is map-only against a broadcast gram array — the
+    100 TB shape."""
+    from image_deduplication_3m_images_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_flags(corpus, eval_df, n=5)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language corpus length profile: exact p50/p90/p99 of n_chars.
     ``percentile`` (exact, linear interpolation — same definition as the
@@ -803,4 +820,5 @@ ALL_QUERIES = {
     "length_quantiles": q_length_quantiles,
     "doc_packing": q_doc_packing,
     "stratified_sample": q_stratified_sample,
+    "contamination": q_contamination,
 }

@@ -153,3 +153,47 @@ def test_pack_documents_corpus_window_is_partitioned(spark):
     windows = re.findall(r"Window \[.*?\]", plan)
     partitioned = [w for w in windows if "_bucket" in w]
     assert partitioned, plan  # per-bucket window present
+
+
+def test_contamination_flags_planted(spark):
+    from image_deduplication_3m_images_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog tonight indeed"),
+            (2, "completely unrelated words about spark shuffles and parquet footers here"),
+            (3, "tiny doc"),  # shorter than n tokens -> zero grams, not null
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_flags(corpus, eval_df, n=5).collect()
+    }
+    assert rows[1]["is_contaminated"] and rows[1]["n_hits"] >= 5
+    assert not rows[2]["is_contaminated"] and rows[2]["n_hits"] == 0
+    assert not rows[3]["is_contaminated"] and rows[3]["n_hits"] == 0
+
+
+def test_contamination_corpus_never_shuffles(spark):
+    # the 100 TB contract: the corpus side is map-only vs a broadcast gram
+    # array — the ONLY exchange in the plan is the eval side's broadcast
+    from image_deduplication_3m_images_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    eval_df = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    plan = contamination_flags(corpus, eval_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # corpus subtree = everything ABOVE the broadcast subtree in the printed
+    # tree (the join streams the corpus side first); the eval side below it
+    # legitimately pays one SinglePartition exchange for its collect_set
+    corpus_side = plan.split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in corpus_side, plan
