@@ -222,8 +222,8 @@ def canonical_url_expr(url: Column) -> Column:
     (the DuckDB oracle) and in any downstream system.
     """
     u = F.lower(url)
-    u = F.regexp_replace(u, r"^https?://", "")
-    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"^(https?://)+", "")
+    u = F.regexp_replace(u, r"^(www\.)+", "")
     u = F.regexp_replace(u, r"[?#].*$", "")
     return F.regexp_replace(u, r"/+$", "")
 
