@@ -72,6 +72,13 @@ class DedupConfig:
     # deterministic salt sub-buckets (plus star edges for cross-salt
     # connectivity); buckets beyond that are star-edged only.
     salt_factor: int = 8
+    # Opt-in input hygiene: canonicalize urls (lowercase, strip scheme /
+    # www. / query / trailing slash) and keep ONE page per canonical url
+    # before signing — the URL-identity dedup web corpora run before any
+    # content hashing.  Off by default: it costs one extra corpus exchange,
+    # and it CHANGES the identity column (the report's urls become
+    # canonical), so the config hash must gate resume across the flip.
+    canonicalize_urls: bool = False
     perm_seed: int = PERM_SEED
 
     def __post_init__(self) -> None:

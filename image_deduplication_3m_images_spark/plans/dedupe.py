@@ -25,7 +25,11 @@ from image_deduplication_3m_images_spark.functions.signatures import (
     band_keys_from_packed_expr,
     make_extract_signature_packed_udf,
 )
-from image_deduplication_3m_images_spark.functions.text import sha256_expr, with_quality
+from image_deduplication_3m_images_spark.functions.text import (
+    canonical_url_expr,
+    sha256_expr,
+    with_quality,
+)
 from image_deduplication_3m_images_spark.operators.best import group_stats
 from image_deduplication_3m_images_spark.operators.cluster import connected_components
 from image_deduplication_3m_images_spark.operators.lsh import (
@@ -73,6 +77,25 @@ def build_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def canonicalize_pages(pages: DataFrame, url_col: str = ID) -> DataFrame:
+    """URL-identity dedup pre-pass: replace ``url`` with its canonical form
+    and keep ONE page per canonical url — largest html, ties broken by
+    html sha256 (deterministic under any partitioning; never by arrival
+    order).  One window exchange over (url, 8-byte length, 32-byte sha) —
+    the html column rides along but is not part of the sort key prefix
+    comparisons beyond the tie tail."""
+    w = Window.partitionBy("_canon").orderBy(
+        F.length("html").desc(), sha256_expr(F.col("html")).asc()
+    )
+    return (
+        pages.withColumn("_canon", canonical_url_expr(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop(url_col, "_rn")
+        .withColumnRenamed("_canon", url_col)
+    )
+
+
 def run_dedupe(
     spark: SparkSession,
     pages: DataFrame,
@@ -93,6 +116,10 @@ def run_dedupe(
     cfg = cfg or DedupConfig()
     cat = make_catalog(spark, warehouse)
     chash = cfg.config_hash()
+    if cfg.canonicalize_urls:
+        # identity hygiene before any signing; resume-safe because the flag
+        # is in the config hash (a flip refuses stale checkpoints)
+        pages = canonicalize_pages(pages)
 
     def stage(name: str, builder, extra: dict | None = None) -> DataFrame:
         if resume and cat.stage_complete(name, chash):

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--master", default=None,
                     help="Spark master override, e.g. local-cluster[8,4,4096]")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--canonicalize-urls", action="store_true",
+                    help="URL-identity dedup pre-pass: canonical urls, one page per url")
     args = ap.parse_args()
 
     from image_deduplication_3m_images_spark.config import DedupConfig
@@ -71,7 +73,7 @@ def main() -> None:
 
     calibration = calibration_const()
 
-    cfg = DedupConfig()
+    cfg = DedupConfig(canonicalize_urls=args.canonicalize_urls)
     t0 = time.time()
     report = run_dedupe(spark, pages, args.warehouse, cfg, resume=not args.no_resume)
     summary = pipeline_summary(report)

@@ -197,3 +197,33 @@ def test_contamination_corpus_never_shuffles(spark):
     # legitimately pays one SinglePartition exchange for its collect_set
     corpus_side = plan.split("BroadcastExchange", 1)[0]
     assert "Exchange" not in corpus_side, plan
+
+
+def test_pipeline_canonicalize_urls_collapses_variants(spark, tmp_path):
+    # three raw variants of ONE canonical url (+ one distinct page): with
+    # the flag on, the pipeline keys on canonical urls — the report has one
+    # row for the collapsed page, carrying the canonical url
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.plans.dedupe import run_dedupe
+
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    big = b"<html><body><p>" + b"big content here " * 40 + b"</p></body></html>"
+    small = b"<html><body><p>tiny</p></body></html>"
+    rows = [
+        ("https://WWW.Site.com/a/?utm=1", ts, big, "", "en"),
+        ("http://site.com/a", ts, small, "", "en"),
+        ("site.com/a/", ts, small, "", "en"),
+        ("https://other.com/b", ts, b"<html><body><p>unrelated words entirely</p></body></html>", "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "html", "text", "lang"])
+    cfg = DedupConfig(canonicalize_urls=True)
+    report = run_dedupe(
+        spark, pages, str(tmp_path / "wh"), cfg, resume=False
+    ).collect()
+    urls = sorted(r["url"] for r in report)
+    assert urls == ["other.com/b", "site.com/a"]
+    # the kept row for site.com/a is the LARGEST variant's content: its
+    # quality reflects the big html (the tiny variant would score lower)
+    assert all(r["is_best"] for r in report)
