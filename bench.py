@@ -92,6 +92,7 @@ def main() -> None:
         "doc_packing",
         "stratified_sample",
         "contamination",
+        "semantic_clusters",
         "image_features",
         "media_dedup",
         "frame_samples",

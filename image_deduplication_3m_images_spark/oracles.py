@@ -520,6 +520,20 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
         """,
         "embedding_topk_lsh": _signlsh_topk_sql(),
         "embedding_neardup": _signlsh_neardup_sql(),
+        "semantic_clusters": f"""
+            WITH RECURSIVE pairs AS ({_signlsh_neardup_sql()}),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT e.vec_id,
+                   least(e.vec_id, coalesce(min(r.b), e.vec_id))::BIGINT AS cluster_id
+            FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+            GROUP BY e.vec_id
+        """,
         "brand_revenue": """
             SELECT r_name, n_name, p_brand,
                    count(*)::BIGINT AS n_items,
@@ -600,7 +614,7 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             ), canon AS (
               SELECT doc_id, n_chars, raw_url,
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                  lower(raw_url), '^https?://', ''), '^www\.', ''),
+                  lower(raw_url), '^(https?://)+', ''), '^(www\.)+', ''),
                   '[?#].*$', ''), '/+$', '') AS canon_url
               FROM raw
             )

@@ -567,6 +567,21 @@ def q_embedding_neardup(spark, sf_dir):
     return signlsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
 
 
+def q_semantic_clusters(spark, sf_dir):
+    """Semantic dedup end-to-end: embedding near-dup pairs (the
+    ``embedding_neardup`` stage) contracted into clusters with the SAME
+    connected-components operator the text pipeline uses — cluster id =
+    min vec_id, singletons kept (SemDeDup-style grouping; one operator,
+    two modalities).  The oracle re-derives the pairs from literal
+    hyperplanes and closes them with a recursive CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = signlsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+    assignments = connected_components(pairs.select("id_a", "id_b"))
+    return attach_singletons(
+        assignments, emb.select("vec_id"), "vec_id"
+    ).select("vec_id", "cluster_id")
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (batch form): per user, events closer than
     30 minutes belong to one session.  One window pass (lag + running sum
@@ -821,4 +836,5 @@ ALL_QUERIES = {
     "doc_packing": q_doc_packing,
     "stratified_sample": q_stratified_sample,
     "contamination": q_contamination,
+    "semantic_clusters": q_semantic_clusters,
 }
