@@ -129,6 +129,10 @@ def main() -> None:
                 "cores": cores,
                 "pages_rows": pages_n,
                 "calibration": calibration,
+                # catalog size grows round-over-round as operators are
+                # added; compare totals across rounds per-query (or divide
+                # by n_queries), not by the raw sum
+                "n_queries": len(headline),
             }
         )
     )

@@ -70,14 +70,40 @@ def test_cc_single_action_per_iteration(spark):
     sc.setLocalProperty("spark.jobGroup.id", group)
     try:
         got = {
-            r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
+            r["id"]: r["cluster_id"]
+            # max_local_edges=0 forces the DISTRIBUTED loop — this test pins
+            # the loop's per-iteration action budget, not the local finish
+            for r in connected_components(edges, max_local_edges=0).collect()
         }
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert got == {100: 1, 1: 1, 2: 1, 3: 1, 4: 1}
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    # collect() above is also in the group: budget = probe + freeze + collect
-    assert len(jobs) <= 4, f"CC ran {len(jobs)} jobs for a star graph: {jobs}"
+    # collect() above is also in the group.  Fixed budget = guard count +
+    # one fused probe iteration + final freeze + collect, with AQE splitting
+    # some of those into 2 driver jobs each.  The number that matters is
+    # that it does NOT grow with iterations beyond 1/iter: the old
+    # formulation cost 2 jobs per iteration plus 2 setup jobs.
+    assert len(jobs) <= 7, f"CC ran {len(jobs)} jobs for a star graph: {jobs}"
+
+
+def test_cc_local_finish_matches_loop(spark):
+    """Small graphs take the driver-side union-find; it must return exactly
+    the distributed loop's assignments (cluster_id = min member id) on a
+    mixed star + chain + singleton-free graph."""
+    edges = spark.createDataFrame(
+        [(100, 1), (100, 2), (5, 6), (6, 7), (7, 8), (8, 9), (30, 31)],
+        ["id_a", "id_b"],
+    )
+    local = {
+        (r["id"], r["cluster_id"]) for r in connected_components(edges).collect()
+    }
+    loop = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges, max_local_edges=0).collect()
+    }
+    assert local == loop
+    assert (5, 5) in local and (9, 5) in local and (31, 30) in local
 
 
 def test_connected_components_reliable_checkpoint_same_result(spark, tmp_path):
