@@ -93,6 +93,7 @@ def main() -> None:
         "stratified_sample",
         "contamination",
         "semantic_clusters",
+        "quality_funnel",
         "image_features",
         "media_dedup",
         "frame_samples",

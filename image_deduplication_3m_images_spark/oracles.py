@@ -520,6 +520,42 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
         """,
         "embedding_topk_lsh": _signlsh_topk_sql(),
         "embedding_neardup": _signlsh_neardup_sql(),
+        "quality_funnel": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), b AS (
+              SELECT
+                (len(toks) >= 10) AS r0,
+                (CASE WHEN len(toks) > 0
+                      THEN round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                 / len(toks), 6)
+                      ELSE 0.0 END) BETWEEN 2.0 AND 12.0 AS r1,
+                (CASE WHEN length(text) > 0
+                      THEN round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE
+                                 / length(text), 6)
+                      ELSE 0.0 END) >= 0.5 AS r2,
+                (CASE WHEN len(toks) > 0
+                      THEN round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+                      ELSE 0.0 END) >= 0.3 AS r3,
+                (round({_QUALITY_SQL}, 6) >= 40.0) AS r4
+              FROM t
+            ), a AS (
+              SELECT
+                sum((NOT r0)::INT)::BIGINT AS f0, sum(r0::INT)::BIGINT AS c0,
+                sum((NOT r1)::INT)::BIGINT AS f1, sum((r0 AND r1)::INT)::BIGINT AS c1,
+                sum((NOT r2)::INT)::BIGINT AS f2, sum((r0 AND r1 AND r2)::INT)::BIGINT AS c2,
+                sum((NOT r3)::INT)::BIGINT AS f3, sum((r0 AND r1 AND r2 AND r3)::INT)::BIGINT AS c3,
+                sum((NOT r4)::INT)::BIGINT AS f4, sum((r0 AND r1 AND r2 AND r3 AND r4)::INT)::BIGINT AS c4
+              FROM b
+            )
+            SELECT 'min_tokens' AS rule, f0 AS n_fail, c0 AS n_pass_cum FROM a
+            UNION ALL SELECT 'mean_word_len', f1, c1 FROM a
+            UNION ALL SELECT 'alpha_ratio', f2, c2 FROM a
+            UNION ALL SELECT 'lexical_diversity', f3, c3 FROM a
+            UNION ALL SELECT 'quality_score', f4, c4 FROM a
+        """,
         "semantic_clusters": f"""
             WITH RECURSIVE pairs AS ({_signlsh_neardup_sql()}),
             sym AS (SELECT id_a AS a, id_b AS b FROM pairs

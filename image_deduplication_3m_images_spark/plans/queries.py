@@ -567,6 +567,73 @@ def q_embedding_neardup(spark, sf_dir):
     return signlsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
 
 
+def q_quality_funnel(spark, sf_dir):
+    """Filter-funnel observability: a C4/Gopher-style rule chain evaluated
+    in ONE corpus scan + ONE partial-merge aggregate, reporting per rule the
+    docs failing it alone and the docs surviving the chain so far — the
+    attrition report every training-data pipeline publishes next to its
+    filters.  Ratio comparisons are 6-dp-rounded on BOTH engines so the
+    booleans cannot flip on float ulps.  The per-rule rows are reshaped
+    from the single agg row with ``stack`` — no collect, no second scan."""
+    from image_deduplication_3m_images_spark.functions.text import (
+        quality_expr,
+        tokens_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_expr(F.col("text"))
+    n_tok = F.size(toks)
+    mean_len = F.round(
+        F.when(
+            n_tok > 0,
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / n_tok,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.when(
+            F.length("text") > 0,
+            F.length(F.regexp_replace(F.col("text"), "[^a-z0-9]", "")).cast(
+                "double"
+            )
+            / F.length("text"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    diversity = F.round(
+        F.when(
+            n_tok > 0,
+            F.size(F.array_distinct(toks)).cast("double") / n_tok,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    rules = [
+        ("min_tokens", n_tok >= 10),
+        ("mean_word_len", (mean_len >= 2.0) & (mean_len <= 12.0)),
+        ("alpha_ratio", alpha_ratio >= 0.5),
+        ("lexical_diversity", diversity >= 0.3),
+        ("quality_score", F.round(quality_expr(F.col("text")), 6) >= 40.0),
+    ]
+    aggs = []
+    cum = F.lit(True)
+    for i, (_, pred) in enumerate(rules):
+        aggs.append(F.sum((~pred).cast("long")).alias(f"f{i}"))
+        cum = cum & pred
+        aggs.append(F.sum(cum.cast("long")).alias(f"c{i}"))
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', f{i}, c{i}" for i, (name, _) in enumerate(rules)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_fail, n_pass_cum)"
+        )
+    )
+
+
 def q_semantic_clusters(spark, sf_dir):
     """Semantic dedup end-to-end: embedding near-dup pairs (the
     ``embedding_neardup`` stage) contracted into clusters with the SAME
@@ -837,4 +904,5 @@ ALL_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "contamination": q_contamination,
     "semantic_clusters": q_semantic_clusters,
+    "quality_funnel": q_quality_funnel,
 }

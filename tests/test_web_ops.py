@@ -227,3 +227,19 @@ def test_pipeline_canonicalize_urls_collapses_variants(spark, tmp_path):
     # the kept row for site.com/a is the LARGEST variant's content: its
     # quality reflects the big html (the tiny variant would score lower)
     assert all(r["is_best"] for r in report)
+
+
+def test_quality_funnel_shape_and_monotone(spark):
+    from image_deduplication_3m_images_spark.plans.queries import (
+        q_quality_funnel,
+    )
+
+    rows = q_quality_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert [r["rule"] for r in rows] == [
+        "min_tokens", "mean_word_len", "alpha_ratio",
+        "lexical_diversity", "quality_score",
+    ]
+    # survivors are monotone non-increasing down the chain
+    cums = [r["n_pass_cum"] for r in rows]
+    assert all(a >= b for a, b in zip(cums, cums[1:]))
+    assert all(r["n_fail"] >= 0 for r in rows)
