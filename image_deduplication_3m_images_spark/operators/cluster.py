@@ -257,8 +257,12 @@ def _cc_local(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.select(id_a, id_b).collect():
-        a, b = row[0], row[1]
+    # Arrow transfer (toPandas), not collect(): at the 2M-edge guard limit
+    # collect() would build ~2M driver Row objects (~100s of MB); the Arrow
+    # path moves two flat columns (~32 MB of longs) and .tolist() yields
+    # plain Python scalars for the dict
+    pdf = edges.select(id_a, id_b).toPandas()
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
