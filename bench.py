@@ -94,6 +94,7 @@ def main() -> None:
         "contamination",
         "semantic_clusters",
         "quality_funnel",
+        "incremental_new_docs",
         "image_features",
         "media_dedup",
         "frame_samples",

@@ -257,6 +257,19 @@ def redact_pii_expr(text: Column) -> Column:
     return F.regexp_replace(t, PII_IPV4_RE, "[IP]")
 
 
+def url_domain_expr(url: Column) -> Column:
+    """Registered domain of a URL as ONE codegen expression: strip scheme,
+    strip path/query, then keep the last two dot-labels of the host
+    (``blog.site3.com`` -> ``site3.com``).  Deliberately public-suffix-
+    list-free — the two-label rule is the engine-portable approximation
+    (the DuckDB oracle derives the domain independently from the synthetic
+    doc_id rule, so this regex chain is genuinely checked); swap in a PSL
+    broadcast join when co.uk-style suffixes matter."""
+    host = F.regexp_replace(F.lower(url), r"^https?://", "")
+    host = F.regexp_replace(host, r"[/?#].*$", "")
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
 def hash_bucket_expr(key: Column, n_buckets: int = 1000) -> Column:
     """Deterministic [0, n_buckets) bucket from a key — the seed-free,
     partition-independent alternative to ``rand()`` for sampling: the same

@@ -1,0 +1,184 @@
+"""Broadcast Bloom-filter pre-filtered incremental dedup.
+
+The cross-snapshot "have we seen this content before?" pass every rolling
+web corpus runs (Dolma's bloom dedup, CCNet's hash pre-filter): a compact
+bit-array summary of the SEEN corpus is built once, persisted alongside the
+snapshot, and every later ingest probes it map-side so that rows which are
+*definitely new* never enter a shuffle — only the (tiny) might-be-seen
+remainder pays the exact anti-join.  This is Spark's own runtime row-level
+bloom join (``spark.sql.optimizer.runtime.bloomFilter.enabled``) made
+explicit and persistable, and with the residual exact join kept, so the
+result is EXACT: bloom false positives cost shuffle bytes, never rows.
+
+Scale shape at 100 TB:
+- build: one scan of seen; per-partition bitmaps OR-reduced (tree depth 2 in
+  ``_or_reduce``), so the driver holds O(m_bits/8) bytes, not O(partitions).
+- probe: one vectorized Arrow batch pass over new (numpy bit tests), zero
+  shuffle for the definitely-new stream.
+- residual anti-join: |new| * fpp + |true dups| rows — broadcastable when
+  the batch is small, plain shuffle anti-join otherwise.
+
+Reference analog: the in-memory "already processed" hash registries the
+reference consults before re-hashing a blob
+(``/root/reference/modules/deduplication.py:689-704`` processed-set checks),
+generalized to a persistable constant-space summary.
+
+No false negatives by construction: build and probe derive the SAME k bit
+positions via double hashing (h1 + i*h2, h2 forced odd, m a power of two)
+from the SAME pair of JVM-side xxhash64 values, so any key inserted at
+build time always probes all-ones.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# second-hash salt: any constant distinct from xxhash64's default seed path
+_H2_SALT = 0x9E3779B9
+
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate; m is rounded UP to a
+    power of two so probe positions are a mask, not a modulo."""
+    n_items = max(1, n_items)
+    m_ideal = -n_items * math.log(fpp) / (math.log(2) ** 2)
+    m_bits = 1 << max(10, math.ceil(math.log2(m_ideal)))
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    return m_bits, min(k, 16)
+
+
+def _hash_cols(df: DataFrame, key_col: str) -> DataFrame:
+    """Two independent 64-bit hashes of the key, both JVM-side codegen
+    (xxhash64); h2 is decorrelated from h1 by hashing alongside a salt."""
+    return df.select(
+        F.xxhash64(F.col(key_col)).alias("h1"),
+        F.xxhash64(F.col(key_col), F.lit(_H2_SALT)).alias("h2"),
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) array of bit positions via double hashing.  int64 hashes are
+    reinterpreted as uint64 so negative JVM longs index correctly; h2 is
+    forced odd so the k probes never collapse onto one slot when m is a
+    power of two."""
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
+    mask = np.uint64(m_bits - 1)
+    steps = np.arange(k, dtype=np.uint64)[:, None]
+    return ((u1[None, :] + steps * u2[None, :]) & mask).astype(np.int64)
+
+
+def build_bloom(
+    seen: DataFrame, key_col: str, n_items: int | None = None, fpp: float = 0.01
+) -> tuple[bytes, int, int]:
+    """One-scan Bloom build over ``seen[key_col]``.  Returns
+    ``(bitmap_bytes, m_bits, k)`` — a plain-bytes artifact a catalog can
+    persist next to the snapshot it summarizes.
+
+    The scan emits ONE bitmap row per partition (``mapInPandas`` sees the
+    whole partition's Arrow batches), and partials are OR-reduced with a
+    depth-2 tree so a 100k-partition corpus ships 100k bitmaps to ~√100k
+    reducers, not to the driver.
+    """
+    if n_items is None:
+        n_items = seen.count()
+    m_bits, k = bloom_params(n_items, fpp)
+    n_bytes = m_bits // 8
+
+    def _partition_bitmap(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        saw = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            saw = True
+            pos = _positions(
+                pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), m_bits, k
+            ).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if saw:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = _hash_cols(seen, key_col).mapInPandas(
+        _partition_bitmap, schema="bitmap binary"
+    )
+    merged = _or_reduce(partials, n_bytes)
+    return merged, m_bits, k
+
+
+def _or_reduce(partials: DataFrame, n_bytes: int) -> bytes:
+    """Tree-OR of per-partition bitmaps: one shuffle to √P reducers that
+    each OR their share, then a driver OR of the reduced set — the driver
+    never materializes more than ~√P bitmaps."""
+    n_parts = partials.rdd.getNumPartitions()
+    fan_in = max(1, int(math.sqrt(max(1, n_parts))))
+
+    def _or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for b in pdf["bitmap"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    reduced = (
+        partials.withColumn("g", F.spark_partition_id() % fan_in)
+        .groupBy("g")
+        .applyInPandas(lambda _key, pdf: _or_group(pdf), schema="bitmap binary")
+        .collect()
+    )
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for row in reduced:
+        acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def might_contain_col(spark, bloom: bytes, m_bits: int, k: int):
+    """Vectorized membership probe as a pandas UDF over the two hash
+    columns.  The bitmap ships to executors ONCE via a TorrentBroadcast (not
+    re-pickled per task), and each Arrow batch is tested with pure numpy."""
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), m_bits, k)
+        hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=0))
+
+    return _probe
+
+
+def incremental_new(
+    new: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    bloom: tuple[bytes, int, int] | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """EXACT ``new ∖ seen`` on ``key_col``, with the bloom as a map-side
+    router: rows whose key definitely never appeared in seen are emitted
+    without touching a shuffle; only might-contain rows (true dups + fpp
+    false positives) enter the exact anti-join.  Passing a prebuilt
+    ``bloom`` (the persisted artifact) makes this a zero-extra-scan path.
+    """
+    spark = new.sparkSession
+    if bloom is None:
+        bloom = build_bloom(seen, key_col, fpp=fpp)
+    bitmap, m_bits, k = bloom
+    probe = might_contain_col(spark, bitmap, m_bits, k)
+    flagged = new.withColumn(
+        "_maybe_seen",
+        probe(F.xxhash64(F.col(key_col)), F.xxhash64(F.col(key_col), F.lit(_H2_SALT))),
+    )
+    fresh = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+    # anti-join is dup-insensitive on its right side — no pre-distinct shuffle
+    residual = (
+        flagged.where(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(seen.select(key_col), key_col, "left_anti")
+    )
+    return fresh.unionByName(residual)

@@ -303,6 +303,21 @@ def _media_dedup_sql(radius: int = 3) -> str:
     """
 
 
+# Registered-domain CTE for the synthetic-URL queries.  Deliberately NOT a
+# re-run of the Spark side's regex pipeline: `plans/queries.py:_synth_urls`
+# builds a raw url (scheme + optional blog./www. subdomain + siteN.tld +
+# path) and `url_domain_expr` regex-extracts the last two host labels; this
+# oracle derives the same registered domain straight from the doc_id rule,
+# so the extraction regexes are independently checked, not mirrored.
+_SYNTH_URL_CTE = """
+    SELECT doc_id, lang, n_chars,
+           'site' || (doc_id % 6)::VARCHAR ||
+           CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                           WHEN 2 THEN '.net' ELSE '.io' END AS domain
+    FROM documents
+"""
+
+
 def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
     sig = "WITH RECURSIVE " + signature_ctes(cfg).lstrip()
     sig_bands = sig + band_ctes(cfg)
@@ -733,6 +748,35 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
                    (len(list_intersect(grams, eg)) >= 1) AS is_contaminated
             FROM grams, eval_grams
             WHERE doc_id % 50 <> 0
+        """,
+        "incremental_new_docs": """
+            WITH seen AS (
+              SELECT sha256(text) AS k FROM documents WHERE doc_id % 7 <> 0
+            ), newb AS (
+              SELECT doc_id, sha256(text) AS text_sha256
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id, text_sha256
+            FROM newb ANTI JOIN seen ON newb.text_sha256 = seen.k
+        """,
+        "domain_stats": f"""
+            WITH u AS ({_SYNTH_URL_CTE})
+            SELECT domain, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM u GROUP BY domain
+        """,
+        "domain_capped": f"""
+            WITH u AS ({_SYNTH_URL_CTE})
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                     PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC
+                   )::INT AS domain_rank,
+                   (row_number() OVER (
+                     PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC
+                   ) <= 5) AS is_kept
+            FROM u
         """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,

@@ -864,6 +864,95 @@ def q_top_nations(spark, sf_dir):
     )
 
 
+def q_incremental_new_docs(spark, sf_dir):
+    """Cross-snapshot incremental dedup through the Bloom router
+    (``operators/bloom.py``): SEEN = content fingerprints already in the
+    corpus (docs with ``doc_id % 7 != 0`` model the prior snapshot), NEW =
+    today's crawl batch (``doc_id % 3 == 0``); emit the new docs whose
+    content was never seen.  The Spark plan exercises the full operator —
+    bloom build over seen, map-side probe of new, exact anti-join for the
+    might-contain residue — while the oracle is the plain ANTI JOIN the
+    bloom must be indistinguishable from (false positives may only add
+    shuffle bytes, never change rows)."""
+    from image_deduplication_3m_images_spark.operators.bloom import incremental_new
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", sha256_expr(F.col("text")).alias("text_sha256")
+    )
+    seen = docs.where(F.col("doc_id") % 7 != 0).select("text_sha256")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    return incremental_new(new, seen, "text_sha256").select("doc_id", "text_sha256")
+
+
+def _synth_urls(docs):
+    """Deterministic raw URLs over a pool of 12 registered domains (the
+    mod-6 and mod-4 rules share parity, so 12 of the 24 combos occur) with
+    subdomain / tld variety, keyed off doc_id (documents has no url column;
+    the oracle derives the registered domain straight from the doc_id rule,
+    so the Spark-side url build + regex extraction is independently
+    checked)."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(d % 5 == 0, F.lit("blog."))
+        .when(d % 5 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 6).cast("string"),
+        F.when(d % 4 == 0, F.lit(".com"))
+        .when(d % 4 == 1, F.lit(".org"))
+        .when(d % 4 == 2, F.lit(".net"))
+        .otherwise(F.lit(".io")),
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    return docs.withColumn("url", raw)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus profile — the first report every web
+    pipeline pulls before setting per-domain policies (caps, blocklists).
+    ``url_domain_expr`` is pure codegen, so at 100 TB this is one map-side-
+    combined hash aggregate over the scan; no UDF, no second shuffle."""
+    from image_deduplication_3m_images_spark.functions.text import url_domain_expr
+
+    docs = _synth_urls(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    )
+    return docs.groupBy(url_domain_expr(F.col("url")).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_domain_capped(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb/C4-style anti-spam measure):
+    keep at most K=5 docs per registered domain, preferring longer then
+    lower-id docs.  One shuffle (the window partition by domain).
+
+    Scale note: a single pathological domain makes one window partition
+    huge; the production variant pre-prunes with a broadcast per-domain
+    K-th-length threshold (percentile_approx) so the window only sorts
+    survivors — semantics here stay exact for the oracle."""
+    from image_deduplication_3m_images_spark.functions.text import url_domain_expr
+
+    docs = _synth_urls(load(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    d = docs.select(
+        "doc_id", "n_chars", url_domain_expr(F.col("url")).alias("domain")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id",
+        "domain",
+        F.row_number().over(w).alias("domain_rank"),
+        (F.row_number().over(w) <= 5).alias("is_kept"),
+    )
+
+
 ALL_QUERIES = {
     "event_windows": q_event_windows,
     "pricing_summary": q_pricing_summary,
@@ -905,4 +994,7 @@ ALL_QUERIES = {
     "contamination": q_contamination,
     "semantic_clusters": q_semantic_clusters,
     "quality_funnel": q_quality_funnel,
+    "incremental_new_docs": q_incremental_new_docs,
+    "domain_stats": q_domain_stats,
+    "domain_capped": q_domain_capped,
 }
