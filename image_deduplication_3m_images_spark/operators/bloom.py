@@ -74,20 +74,31 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int) -> np.ndarra
 
 
 def build_bloom(
-    seen: DataFrame, key_col: str, n_items: int | None = None, fpp: float = 0.01
+    seen: DataFrame,
+    key_col: str,
+    n_items: int | None = None,
+    fpp: float = 0.01,
+    params: tuple[int, int] | None = None,
 ) -> tuple[bytes, int, int]:
     """One-scan Bloom build over ``seen[key_col]``.  Returns
     ``(bitmap_bytes, m_bits, k)`` — a plain-bytes artifact a catalog can
     persist next to the snapshot it summarizes.
+
+    ``params=(m_bits, k)`` pins the layout so a new batch's bitmap can be
+    OR-merged into an EXISTING persisted bloom (same positions for the same
+    key — the incremental-maintenance path in ``streaming/incremental.py``).
 
     The scan emits ONE bitmap row per partition (``mapInPandas`` sees the
     whole partition's Arrow batches), and partials are OR-reduced with a
     depth-2 tree so a 100k-partition corpus ships 100k bitmaps to ~√100k
     reducers, not to the driver.
     """
-    if n_items is None:
-        n_items = seen.count()
-    m_bits, k = bloom_params(n_items, fpp)
+    if params is not None:
+        m_bits, k = params
+    else:
+        if n_items is None:
+            n_items = seen.count()
+        m_bits, k = bloom_params(n_items, fpp)
     n_bytes = m_bits // 8
 
     def _partition_bitmap(batches):

@@ -1,0 +1,150 @@
+"""URL-bloom routing of the streaming re-crawl guard
+(`streaming/incremental.py:_update_url_bloom` + the guard in
+`ingest_neardup_batch`): must be invisible in results, must skip the
+per-batch corpus id scan when the batch has no might-seen rows, and must
+rebuild itself when inserts cross capacity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.config import DedupConfig
+from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+from image_deduplication_3m_images_spark.sources.pages_fixture import (
+    generate_pages,
+    pages_dataframe,
+)
+from image_deduplication_3m_images_spark.streaming.incremental import (
+    _load_url_bloom,
+    ingest_neardup_batch,
+    read_clusters,
+)
+
+
+class _CountingCatalog:
+    """Catalog proxy that counts read() calls per table — lets a test pin
+    how many times a batch touches the corpus-sized signatures table."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.reads: dict[str, int] = {}
+
+    def read(self, table):
+        self.reads[table] = self.reads.get(table, 0) + 1
+        return self._inner.read(table)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _split_batches(pages, n_batches=3):
+    b = F.abs(F.xxhash64("url")) % n_batches
+    return [pages.where(b == i) for i in range(n_batches)]
+
+
+def _clusters(spark, cat):
+    return sorted((r["url"], r["cluster_id"]) for r in read_clusters(cat).collect())
+
+
+def test_bloom_guard_equivalent_to_plain_guard(spark, tmp_path):
+    """With re-crawled urls (same url re-delivered in later batches, html
+    mutated so a wrong re-sign WOULD change results), bloom-on and bloom-off
+    warehouses must end in identical clusters and one signature row per url
+    — the router may only move rows between the skip path and the exact
+    anti-join, never change the outcome."""
+    fx = generate_pages(n_rows=120, seed=31)
+    pages = pages_dataframe(spark, fx)
+    batches = _split_batches(pages)
+    # re-deliver batch 0's urls inside batch 2 with DIFFERENT html/text: the
+    # first-write-wins guard must drop them on both paths
+    recrawl = batches[0].withColumn(
+        "text", F.concat(F.lit("recrawled different content "), F.col("text"))
+    )
+    batches[2] = batches[2].unionByName(recrawl)
+
+    cfg = DedupConfig()
+    cat_on = ParquetCatalog(spark, str(tmp_path / "wh_on"))
+    cat_off = ParquetCatalog(spark, str(tmp_path / "wh_off"))
+    for i, b in enumerate(batches):
+        ingest_neardup_batch(spark, b, i, cat_on, cfg, url_bloom=True)
+        ingest_neardup_batch(spark, b, i, cat_off, cfg, url_bloom=False)
+
+    assert _clusters(spark, cat_on) == _clusters(spark, cat_off)
+    n_urls = pages.select("url").distinct().count()
+    sigs = cat_on.read("signatures")
+    assert sigs.select("url").distinct().count() == n_urls
+    assert sigs.count() == n_urls  # the guard dropped every re-crawl pre-sign
+    # and the artifact exists + covers every ingested url (superset invariant)
+    state = _load_url_bloom(cat_on)
+    assert state is not None and state["n_inserted"] >= n_urls
+
+
+def test_bloom_skips_corpus_scan_when_batch_is_all_new(spark, tmp_path):
+    """A later batch with zero re-crawls must not read the signatures table
+    for the guard when the bloom routes it away — reads of the corpus table
+    drop by exactly one vs the bloom-off path."""
+    fx = generate_pages(n_rows=100, seed=33)
+    pages = pages_dataframe(spark, fx)
+    b0, b1 = _split_batches(pages, 2)
+    cfg = DedupConfig()
+
+    def run(url_bloom):
+        cat = _CountingCatalog(
+            ParquetCatalog(spark, str(tmp_path / f"wh_{url_bloom}"))
+        )
+        ingest_neardup_batch(spark, b0, 0, cat, cfg, url_bloom=url_bloom)
+        cat.reads.clear()
+        ingest_neardup_batch(spark, b1, 1, cat, cfg, url_bloom=url_bloom)
+        return cat.reads.get("signatures", 0)
+
+    with_bloom, without = run(True), run(False)
+    assert with_bloom == without - 1, (with_bloom, without)
+
+
+def test_bloom_rebuilds_when_capacity_crossed(spark, tmp_path):
+    """Crossing the sized capacity must trigger a rebuild at a larger
+    power-of-two capacity (logged to lineage), and results stay equal to the
+    bloom-off run."""
+    fx = generate_pages(n_rows=90, seed=35)
+    pages = pages_dataframe(spark, fx)
+    batches = _split_batches(pages)
+    cfg = DedupConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat_off = ParquetCatalog(spark, str(tmp_path / "wh_off"))
+    for i, b in enumerate(batches):
+        # expected=8 forces capacity crossings on a ~30-row batch
+        ingest_neardup_batch(
+            spark, b, i, cat, cfg, url_bloom=True, url_bloom_expected=8
+        )
+        ingest_neardup_batch(spark, b, i, cat_off, cfg, url_bloom=False)
+
+    state = _load_url_bloom(cat)
+    n_urls = pages.select("url").distinct().count()
+    assert state["n_capacity"] >= n_urls
+    assert state["n_inserted"] == n_urls
+    events = cat.read("_lineage").where(F.col("stage") == "url_bloom_rebuilt")
+    assert events.count() >= 1
+    assert _clusters(spark, cat) == _clusters(spark, cat_off)
+
+
+def test_bloom_self_heals_on_pre_bloom_warehouse(spark, tmp_path):
+    """A warehouse created with url_bloom=False (or by older code) gains a
+    bloom on the first bloom-enabled batch, seeded from the committed corpus
+    — a later re-crawl of PRE-bloom urls must still be filtered."""
+    fx = generate_pages(n_rows=80, seed=37)
+    pages = pages_dataframe(spark, fx)
+    b0, b1 = _split_batches(pages, 2)
+    cfg = DedupConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    ingest_neardup_batch(spark, b0, 0, cat, cfg, url_bloom=False)
+    assert _load_url_bloom(cat) is None
+    ingest_neardup_batch(spark, b1, 1, cat, cfg, url_bloom=True)
+    state = _load_url_bloom(cat)
+    assert state is not None
+    assert state["n_inserted"] == pages.select("url").distinct().count()
+    # batch 2 re-delivers PRE-bloom urls (batch 0's): all must be dropped
+    ingest_neardup_batch(spark, b0, 2, cat, cfg, url_bloom=True)
+    sigs = cat.read("signatures")
+    assert sigs.count() == sigs.select("url").distinct().count()
+    assert sigs.where(F.col("batch_id") == 2).count() == 0
