@@ -778,6 +778,15 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
                    ) <= 5) AS is_kept
             FROM u
         """,
+        "domain_topk": f"""
+            WITH u AS ({_SYNTH_URL_CTE})
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                     PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC
+                   )::INT AS domain_rank
+            FROM u
+            QUALIFY domain_rank <= 5
+        """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,

@@ -953,6 +953,29 @@ def q_domain_capped(spark, sf_dir):
     )
 
 
+def q_domain_topk(spark, sf_dir):
+    """The production form of the per-domain cap: EXACT top-5 docs per
+    registered domain via the two-level salted tournament
+    (``operators/topk.py``) — per-task sort buffers stay bounded even when
+    one spam domain owns billions of pages, unlike ``q_domain_capped``'s
+    single corpus-wide window.  The oracle is the plain QUALIFY window the
+    tournament must be indistinguishable from."""
+    from image_deduplication_3m_images_spark.functions.text import url_domain_expr
+    from image_deduplication_3m_images_spark.operators.topk import top_k_per_group
+
+    docs = _synth_urls(load(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    d = docs.select(
+        "doc_id", "n_chars", url_domain_expr(F.col("url")).alias("domain")
+    )
+    return top_k_per_group(
+        d,
+        ["domain"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=5,
+        rank_col="domain_rank",
+    ).select("doc_id", "domain", F.col("domain_rank").cast("int").alias("domain_rank"))
+
+
 ALL_QUERIES = {
     "event_windows": q_event_windows,
     "pricing_summary": q_pricing_summary,
@@ -997,4 +1020,5 @@ ALL_QUERIES = {
     "incremental_new_docs": q_incremental_new_docs,
     "domain_stats": q_domain_stats,
     "domain_capped": q_domain_capped,
+    "domain_topk": q_domain_topk,
 }
