@@ -95,6 +95,7 @@ def main() -> None:
         "semantic_clusters",
         "quality_funnel",
         "incremental_new_docs",
+        "substring_pairs",
         "image_features",
         "media_dedup",
         "frame_samples",

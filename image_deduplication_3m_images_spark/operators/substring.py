@@ -1,0 +1,199 @@
+"""Corpus-wide exact shared-substring detection via winnowed fingerprints.
+
+The third leg of the north star's verification triad (MinHash estimate /
+SimHash Hamming / exact substring): find every pair of documents that share
+a VERBATIM substring of >= ``min_len`` characters — the signal behind
+suffix-array training-data dedup (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better") — without building a distributed suffix
+array.  Spark-first shape:
+
+1. **fingerprint** (one Arrow pass per doc): rolling 64-bit polynomial
+   hashes of every ``gram_len``-byte window, then WINNOWING (Schleimer,
+   Wilkerson & Aiken, SIGMOD'03): keep the minimum hash of every
+   ``window`` consecutive gram hashes.  The winnowing theorem gives the
+   exactness contract: any shared substring of length >=
+   ``gram_len + window - 1`` characters (== ``min_len``; multi-byte UTF-8
+   only lengthens the byte match, never shortens it) contains a full
+   shared window in both docs, whose minimum is selected in both — so no
+   qualifying pair can be missed.  Expected fingerprint density is
+   2/(window+1) per position, ~25x fewer rows than all-grams.
+2. **bucket join**: groupBy(fingerprint) + sorted collect_list + the same
+   codegen pair expansion the LSH stage uses — ONE shuffle of the
+   fingerprint rows, never an all-pairs join.
+3. **exact verify**: candidate pairs (tiny: true sharers + hash
+   collisions) fetch their texts and a vectorized Arrow kernel checks for
+   a genuinely shared ``min_len``-CHARACTER gram by string comparison —
+   hash collisions and byte/char skew are filtered here, so the result is
+   EXACT (identical to a brute-force all-grams self-join, which is the
+   DuckDB oracle).
+
+Scale notes: the fingerprint shuffle is ~2·chars/(window+1) longs per doc;
+a boilerplate string shared by millions of docs makes one hot bucket — the
+``max_bucket`` cap mirrors the LSH tiers (star edges preserve pair
+CONNECTIVITY for clustering use but change the exact pair set, so it is
+opt-in and lineage should record it; the default keeps exact semantics).
+Reference analog: the local-keypoint exact-match verification tier
+(/root/reference/modules/deduplication.py FLANN local-feature pass),
+re-expressed as substring evidence for text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.operators.lsh import _bucket_pairs_expr
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_POLY_C = np.uint64(1099511628211)  # FNV-64 prime (odd -> full-period mod 2^64)
+
+
+def _mixed_gram_hashes(b: np.ndarray, gram_len: int) -> np.ndarray:
+    """Splitmix-finalized polynomial hashes of every ``gram_len``-byte
+    window of ``b`` (uint64, mod 2^64): h[i] = mix(sum_j b[i+j]*C^(L-1-j))."""
+    m = b.size - gram_len + 1
+    if m < 1:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(gram_len):
+        h = h * _POLY_C + b[j : j + m]
+    h ^= h >> np.uint64(30)
+    h *= _MIX1
+    h ^= h >> np.uint64(27)
+    h *= _MIX2
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _fingerprints_one(s: str, gram_len: int, window: int) -> np.ndarray:
+    """Winnowed fingerprint VALUES for one text (unique, as uint64) — the
+    single-doc reference form of the batched kernel in
+    ``winnowed_fingerprints`` (unit tests pin them equal)."""
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    h = _mixed_gram_hashes(b, gram_len)
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if h.size <= window:
+        mins = h.min(keepdims=True)
+    else:
+        mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+    return np.unique(mins)
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    min_len: int = 40,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fingerprint) rows, one Arrow boundary, fingerprints unique per
+    doc.  gram_len = min_len - window + 1 so the winnowing guarantee kicks
+    in exactly at ``min_len`` shared characters."""
+    gram_len = min_len - window + 1
+    assert gram_len >= 2, (min_len, window)
+
+    def _emit(batches):
+        for pdf in batches:
+            rows = [
+                (did, t.encode("utf-8"))
+                for did, t in zip(pdf[id_col], pdf[text_col])
+                if t is not None and len(t) > 0
+            ]
+            if not rows:
+                continue
+            # ONE Horner + mix pass over the batch's concatenated bytes —
+            # the gram_len fused multiply-adds are the kernel's cost, so
+            # they must run over one big array, not per ~300-byte doc
+            # (same batching as the MinHash kernel).  Windows that straddle
+            # doc boundaries exist in `h` but are never indexed: each doc
+            # reads only its own valid gram range below.
+            lens = np.fromiter((len(b) for _, b in rows), dtype=np.int64)
+            big = np.frombuffer(b"".join(b for _, b in rows), dtype=np.uint8)
+            h = _mixed_gram_hashes(big.astype(np.uint64), gram_len)
+            starts = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ids, fps = [], []
+            for (did, _), s, ln in zip(rows, starts, lens):
+                m = ln - gram_len + 1
+                if m < 1:
+                    continue
+                hd = h[s : s + m]
+                if m <= window:
+                    mins = hd.min(keepdims=True)
+                else:
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        hd, window
+                    ).min(axis=1)
+                v = np.unique(mins)
+                ids.append(np.full(v.size, did, dtype=np.int64))
+                fps.append(v.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _emit, schema=f"{id_col} long, fp long"
+    )
+
+
+def _shares_gram_udf(min_len: int):
+    @F.pandas_udf("boolean")
+    def _shares(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.zeros(len(a), dtype=bool)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None or len(x) < min_len or len(y) < min_len:
+                continue
+            if len(y) < len(x):
+                x, y = y, x
+            grams = {x[j : j + min_len] for j in range(len(x) - min_len + 1)}
+            out[i] = any(
+                y[j : j + min_len] in grams for j in range(len(y) - min_len + 1)
+            )
+        return pd.Series(out)
+
+    return _shares
+
+
+def shared_substring_pairs(
+    docs: DataFrame,
+    min_len: int = 40,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT (id_a < id_b) pairs of docs sharing a verbatim substring of
+    >= ``min_len`` characters.  ``max_bucket`` (opt-in) drops fingerprint
+    buckets larger than the cap — connectivity-preserving only if a second
+    fingerprint covers the pair, so leave None when the exact pair set
+    matters."""
+    fps = winnowed_fingerprints(docs, min_len, window, id_col, text_col)
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+    cand = (
+        grouped.select(F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = docs.select(id_col, text_col)
+    withtext = cand.join(
+        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
+        "id_a",
+    ).join(
+        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")),
+        "id_b",
+    )
+    shares = _shares_gram_udf(min_len)
+    return withtext.where(shares(F.col("text_a"), F.col("text_b"))).select(
+        "id_a", "id_b"
+    )

@@ -787,6 +787,16 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             FROM u
             QUALIFY domain_rank <= 5
         """,
+        "substring_pairs": """
+            WITH g AS (
+              SELECT doc_id, substr(text, i::INT, 40) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text) - 38, 1))) AS i
+                    FROM documents)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,

@@ -976,6 +976,20 @@ def q_domain_topk(spark, sf_dir):
     ).select("doc_id", "domain", F.col("domain_rank").cast("int").alias("domain_rank"))
 
 
+def q_substring_pairs(spark, sf_dir):
+    """Pairs of docs sharing a verbatim >=40-char substring — suffix-array-
+    style training-data dedup (Lee et al. 2022) done Spark-first with
+    winnowed rolling-hash fingerprints + exact verification
+    (``operators/substring.py``).  The oracle is the brute-force all-grams
+    self-join the winnowing theorem makes this equal to."""
+    from image_deduplication_3m_images_spark.operators.substring import (
+        shared_substring_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return shared_substring_pairs(docs, min_len=40)
+
+
 ALL_QUERIES = {
     "event_windows": q_event_windows,
     "pricing_summary": q_pricing_summary,
@@ -1021,4 +1035,5 @@ ALL_QUERIES = {
     "domain_stats": q_domain_stats,
     "domain_capped": q_domain_capped,
     "domain_topk": q_domain_topk,
+    "substring_pairs": q_substring_pairs,
 }

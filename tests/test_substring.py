@@ -1,0 +1,142 @@
+"""Winnowed shared-substring detection (`operators/substring.py`): the
+winnowing guarantee (no pair sharing >= min_len chars is ever missed), the
+exact-verify filter (no false pairs survive), and byte/char handling for
+multi-byte UTF-8."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from image_deduplication_3m_images_spark.operators.substring import (
+    _fingerprints_one,
+    shared_substring_pairs,
+    winnowed_fingerprints,
+)
+
+MIN_LEN = 40
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+
+def _brute_pairs(rows, min_len=MIN_LEN):
+    def grams(s):
+        return {s[i : i + min_len] for i in range(len(s) - min_len + 1)}
+
+    out = set()
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            if grams(ta) & grams(tb):
+                out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+def test_matches_brute_force_on_planted_corpus(spark):
+    """Planted shares at exactly 40 chars (the guarantee boundary), at 39
+    chars (must NOT pair), and long shares at random positions."""
+    rng = random.Random(7)
+    shared40 = _rand_text(rng, 40)
+    shared39 = shared40[:39]
+    shared120 = _rand_text(rng, 120)
+    rows = [
+        (1, _rand_text(rng, 100) + shared40 + _rand_text(rng, 80)),
+        (2, shared40 + _rand_text(rng, 150)),
+        (3, _rand_text(rng, 60) + shared39),          # 39 < min_len: no pair
+        (4, shared39 + _rand_text(rng, 60)),
+        (5, _rand_text(rng, 30) + shared120),
+        (6, shared120[: rng.randint(41, 120)] + _rand_text(rng, 90)),
+        (7, _rand_text(rng, 200)),                    # loner
+        (8, "short"),                                  # < gram_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in shared_substring_pairs(df, MIN_LEN).collect()
+    }
+    assert got == _brute_pairs(rows)
+    assert (1, 2) in got and (5, 6) in got and (3, 4) not in got
+
+
+def test_fuzz_guarantee_never_misses(spark):
+    """Fuzz: random corpus with random planted overlaps — Spark pairs must
+    equal brute force exactly (both directions: no misses, no extras)."""
+    rng = random.Random(23)
+    rows = []
+    for i in range(40):
+        rows.append((i, _rand_text(rng, rng.randint(10, 250))))
+    # plant overlaps by splicing substrings of earlier docs into later ones
+    for i in range(40, 60):
+        src_id, src = rows[rng.randrange(len(rows))]
+        if len(src) >= MIN_LEN:
+            a = rng.randint(0, len(src) - MIN_LEN)
+            ln = rng.randint(MIN_LEN, min(len(src) - a, 120))
+            chunk = src[a : a + ln]
+        else:
+            chunk = _rand_text(rng, MIN_LEN)
+        rows.append(
+            (i, _rand_text(rng, rng.randint(0, 80)) + chunk
+             + _rand_text(rng, rng.randint(0, 80)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in shared_substring_pairs(df, MIN_LEN).collect()
+    }
+    assert got == _brute_pairs(rows)
+    assert len(got) >= 15  # the plants actually planted something
+
+
+def test_multibyte_utf8_shared_substring_found(spark):
+    """40 shared CHARACTERS of multi-byte text: byte-level fingerprints may
+    only over-trigger (more bytes than chars), and the char-level verify
+    keeps the semantics: the pair must be found."""
+    shared = "äöüßéñ中文字符" * 4  # 40 chars, mostly multi-byte
+    assert len(shared) == 40
+    rows = [(1, "prefix " + shared + " suffix"), (2, shared + " tail"),
+            (3, "nothing in common here at all, plain ascii filler text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in shared_substring_pairs(df, MIN_LEN).collect()}
+    assert got == {(1, 2)}
+
+
+def test_fingerprint_density_and_determinism():
+    s = "the quick brown fox jumps over the lazy dog " * 20
+    a = _fingerprints_one(s, 33, 8)
+    b = _fingerprints_one(s, 33, 8)
+    assert (a == b).all()
+    # winnowing density ~ 2/(w+1) of positions, generously bounded here
+    assert 0 < a.size <= 2 * len(s) / (8 + 1) + 8
+
+
+def test_batched_kernel_equals_single_doc_reference(spark):
+    """The batch-concatenated Horner pass must emit exactly the per-doc
+    fingerprints — doc-boundary windows never leak in."""
+    rng = random.Random(41)
+    rows = [(i, _rand_text(rng, rng.randint(1, 200))) for i in range(30)]
+    rows.append((30, "ä" * 50))
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnowed_fingerprints(df, MIN_LEN, window=8).collect()
+    }
+    want = set()
+    for did, t in rows:
+        for v in _fingerprints_one(t, MIN_LEN - 8 + 1, 8):
+            want.add((did, int(v.view("int64"))))
+    assert got == want
+
+
+def test_fingerprints_df_one_row_per_doc_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, None), (3, "ab")], "doc_id long, text string"
+    )
+    out = winnowed_fingerprints(df, MIN_LEN)
+    rows = out.collect()
+    # doc 1 is a single repeated char: every gram identical -> ONE fp
+    assert [r["doc_id"] for r in rows] == [1]
+    assert out.schema["fp"].dataType.simpleString() == "bigint"
