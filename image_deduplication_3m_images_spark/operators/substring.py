@@ -159,6 +159,98 @@ def _shares_gram_udf(min_len: int):
     return _shares
 
 
+def _shared_positions_udf(min_len: int):
+    """For a (text_a, text_b) pair, every 0-based position i in text_b whose
+    ``min_len``-char gram occurs verbatim anywhere in text_a."""
+
+    @F.pandas_udf("array<long>")
+    def _positions(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None or len(x) < min_len or len(y) < min_len:
+                out.append([])
+                continue
+            grams = {x[j : j + min_len] for j in range(len(x) - min_len + 1)}
+            out.append(
+                [j for j in range(len(y) - min_len + 1) if y[j : j + min_len] in grams]
+            )
+        return pd.Series(out)
+
+    return _positions
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level duplication (the actual Lee et al. 2022 deliverable):
+    per doc, the MERGED character ranges covered by >= ``min_len``-char
+    grams that also occur in a LOWER-id doc — "keep the first occurrence,
+    mark the rest", deterministically (corpus order = id order, never
+    partition order).  Returns (id, span_start [0-based], span_len).
+
+    Shape: winnowed candidate pairs (exact by the winnowing guarantee; a
+    position duplicated against ANY earlier doc implies that pair shares
+    >= min_len chars, so it IS a candidate pair) -> per-pair position scan
+    (Arrow kernel, O(len_a + len_b) per pair) -> explode + distinct
+    (doc, pos) -> interval merge with two JVM window passes (running max of
+    pos+min_len flags island starts; running sum numbers islands).  Window
+    partitions are per-doc and bounded by doc length, so no skew risk
+    beyond the corpus's max doc length."""
+    from pyspark.sql import Window
+
+    fps = winnowed_fingerprints(docs, min_len, window, id_col, text_col)
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        grouped.select(F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")  # id_a < id_b: spans land on the b side
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = docs.select(id_col, text_col)
+    withtext = cand.join(
+        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
+        "id_a",
+    ).join(
+        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")),
+        "id_b",
+    )
+    positions = _shared_positions_udf(min_len)
+    pos = (
+        withtext.select(
+            F.col("id_b").alias(id_col),
+            F.explode(positions(F.col("text_a"), F.col("text_b"))).alias("pos"),
+        )
+        .dropDuplicates([id_col, "pos"])  # union across all earlier partners
+    )
+    w_order = Window.partitionBy(id_col).orderBy("pos")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        pos.withColumn("prev_end", F.max(F.col("pos") + min_len).over(w_prev))
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_start").over(w_order))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len - F.min("pos")).alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
 def shared_substring_pairs(
     docs: DataFrame,
     min_len: int = 40,

@@ -797,6 +797,38 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
+        "dup_span_stats": """
+            WITH g AS (
+              SELECT doc_id, i::BIGINT AS pos, substr(text, i::INT, 40) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text) - 38, 1))) AS i
+                    FROM documents)
+            ), shared AS (
+              SELECT DISTINCT gb.doc_id, gb.pos
+              FROM g gb JOIN g ga ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            ), m AS (
+              SELECT doc_id, pos,
+                     max(pos + 40) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM shared
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                     ) AS island
+              FROM m
+            ), spans AS (
+              SELECT doc_id, island,
+                     max(pos) + 40 - min(pos) AS span_len
+              FROM isl GROUP BY doc_id, island
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_spans,
+                   sum(span_len)::BIGINT AS dup_chars
+            FROM spans GROUP BY doc_id
+        """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,

@@ -990,6 +990,24 @@ def q_substring_pairs(spark, sf_dir):
     return shared_substring_pairs(docs, min_len=40)
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Span-level duplication profile (Lee et al. 2022 "deduplicating
+    training data" semantics): per doc, how many merged character spans are
+    verbatim-shared (>=40 chars) with some LOWER-id doc, and how many
+    characters they cover — the numbers a span-removal pass would delete.
+    Exact: the oracle recomputes it from the brute-force all-grams join."""
+    from image_deduplication_3m_images_spark.operators.substring import (
+        duplicated_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = duplicated_spans(docs, min_len=40)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("dup_chars"),
+    )
+
+
 ALL_QUERIES = {
     "event_windows": q_event_windows,
     "pricing_summary": q_pricing_summary,
@@ -1036,4 +1054,5 @@ ALL_QUERIES = {
     "domain_capped": q_domain_capped,
     "domain_topk": q_domain_topk,
     "substring_pairs": q_substring_pairs,
+    "dup_span_stats": q_dup_span_stats,
 }

@@ -104,6 +104,71 @@ def test_multibyte_utf8_shared_substring_found(spark):
     assert got == {(1, 2)}
 
 
+def test_plan_no_cartesian_or_nested_loop(spark):
+    """Candidate generation must stay a bucket join: no all-pairs fallback
+    regardless of optimizer mood."""
+    df = spark.createDataFrame(
+        [(i, "some reasonably long filler text body " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        shared_substring_pairs(df, MIN_LEN)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_duplicated_spans_merge_and_first_occurrence(spark):
+    """Spans: land only on the HIGHER-id doc (first occurrence kept);
+    overlapping shared grams merge into one island; disjoint shares stay
+    separate spans with exact lengths."""
+    from image_deduplication_3m_images_spark.operators.substring import (
+        duplicated_spans,
+    )
+
+    rng = random.Random(13)
+    s1 = _rand_text(rng, 60)   # one 60-char shared run
+    s2 = _rand_text(rng, 40)   # one exactly-min_len shared run
+    mid = _rand_text(rng, 50)  # separator long enough to split islands
+    rows = [
+        (1, s1 + _rand_text(rng, 30) + s2),
+        (2, _rand_text(rng, 25) + s1 + mid + s2 + _rand_text(rng, 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, MIN_LEN).collect()
+    )
+    # doc 1 is the first occurrence: no spans; doc 2 carries both islands
+    assert [g[0] for g in got] == [2, 2]
+    assert got[0] == (2, 25, 60)            # the 60-char run, merged
+    assert got[1] == (2, 25 + 60 + 50, 40)  # the exactly-40 run
+
+
+def test_duplicated_spans_union_across_partners(spark):
+    """A doc sharing different regions with two different earlier docs gets
+    the UNION of both regions."""
+    from image_deduplication_3m_images_spark.operators.substring import (
+        duplicated_spans,
+    )
+
+    rng = random.Random(17)
+    a, b = _rand_text(rng, 45), _rand_text(rng, 45)
+    rows = [
+        (1, a + _rand_text(rng, 20)),
+        (2, _rand_text(rng, 20) + b),
+        (3, a + _rand_text(rng, 60) + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, MIN_LEN).collect()
+    )
+    assert got == [(3, 0, 45), (3, 105, 45)]
+
+
 def test_fingerprint_density_and_determinism():
     s = "the quick brown fox jumps over the lazy dog " * 20
     a = _fingerprints_one(s, 33, 8)
