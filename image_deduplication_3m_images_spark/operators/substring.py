@@ -251,6 +251,52 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The cleaned corpus: every doc with its duplicated spans (per
+    :func:`duplicated_spans`) CUT OUT — the transform Lee et al. 2022 apply
+    before training.  Returns all input rows with a ``clean_text`` column
+    (== ``text_col`` when the doc has no duplicated span).
+
+    Spans are grouped per doc into one sorted array (batch-sized: only docs
+    WITH spans reach the groupBy), left-joined back, and the cut is one
+    Arrow pass; docs without spans never leave the JVM."""
+    spans = duplicated_spans(docs, min_len, window, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("_spans")
+    )
+
+    @F.pandas_udf("string")
+    def _cut(text: pd.Series, sp: pd.Series) -> pd.Series:
+        out = []
+        for t, spans_row in zip(text, sp):
+            if t is None or spans_row is None or len(spans_row) == 0:
+                out.append(t)
+                continue
+            kept, prev = [], 0
+            for s in spans_row:
+                kept.append(t[prev : s["span_start"]])
+                prev = s["span_start"] + s["span_len"]
+            kept.append(t[prev:])
+            out.append("".join(kept))
+        return pd.Series(out)
+
+    joined = docs.join(per_doc, id_col, "left")
+    return joined.withColumn(
+        "clean_text",
+        F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+            _cut(F.col(text_col), F.col("_spans"))
+        ),
+    ).drop("_spans")
+
+
 def shared_substring_pairs(
     docs: DataFrame,
     min_len: int = 40,

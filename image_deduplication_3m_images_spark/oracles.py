@@ -309,6 +309,38 @@ def _media_dedup_sql(radius: int = 3) -> str:
 # path) and `url_domain_expr` regex-extracts the last two host labels; this
 # oracle derives the same registered domain straight from the doc_id rule,
 # so the extraction regexes are independently checked, not mirrored.
+# Shared CTE chain for the span-level substring-dedup oracles: brute-force
+# all-grams (positions 1-based), positions shared with any LOWER-id doc,
+# then gaps-and-islands interval merge.  The Spark side
+# (`operators/substring.py:duplicated_spans`) uses 0-based positions; every
+# oracle built on this compares only base-invariant quantities (lengths,
+# counts, reconstructed strings).
+_SPAN_ISLAND_CTES = """
+            g AS (
+              SELECT doc_id, i::BIGINT AS pos, substr(text, i::INT, 40) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text) - 38, 1))) AS i
+                    FROM documents)
+            ), shared AS (
+              SELECT DISTINCT gb.doc_id, gb.pos
+              FROM g gb JOIN g ga ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            ), m AS (
+              SELECT doc_id, pos,
+                     max(pos + 40) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM shared
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                     ) AS island
+              FROM m
+            )
+"""
+
 _SYNTH_URL_CTE = """
     SELECT doc_id, lang, n_chars,
            'site' || (doc_id % 6)::VARCHAR ||
@@ -797,30 +829,8 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
-        "dup_span_stats": """
-            WITH g AS (
-              SELECT doc_id, i::BIGINT AS pos, substr(text, i::INT, 40) AS gram
-              FROM (SELECT doc_id, text,
-                           unnest(range(1, greatest(length(text) - 38, 1))) AS i
-                    FROM documents)
-            ), shared AS (
-              SELECT DISTINCT gb.doc_id, gb.pos
-              FROM g gb JOIN g ga ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-            ), m AS (
-              SELECT doc_id, pos,
-                     max(pos + 40) OVER (
-                       PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ) AS prev_end
-              FROM shared
-            ), isl AS (
-              SELECT doc_id, pos,
-                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end
-                              THEN 1 ELSE 0 END) OVER (
-                       PARTITION BY doc_id ORDER BY pos
-                     ) AS island
-              FROM m
-            ), spans AS (
+        "dup_span_stats": f"""
+            WITH {_SPAN_ISLAND_CTES}, spans AS (
               SELECT doc_id, island,
                      max(pos) + 40 - min(pos) AS span_len
               FROM isl GROUP BY doc_id, island
@@ -828,6 +838,34 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_spans,
                    sum(span_len)::BIGINT AS dup_chars
             FROM spans GROUP BY doc_id
+        """,
+        "span_cleaned_digest": f"""
+            WITH {_SPAN_ISLAND_CTES}, spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+              FROM isl GROUP BY doc_id, island
+            ), seg AS (
+              -- kept segments, 1-based: [prev span end (or 1), next span
+              -- start) plus the tail [last span end, len+1)
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                              1) AS ks,
+                     s AS ke
+              FROM spans
+              UNION ALL
+              SELECT doc_id, max(e) AS ks, NULL AS ke FROM spans GROUP BY doc_id
+            ), cleaned AS (
+              SELECT seg.doc_id,
+                     string_agg(
+                       substr(d.text, ks::INT,
+                              (coalesce(ke, length(d.text) + 1) - ks)::INT),
+                       '' ORDER BY ks
+                     ) AS ct
+              FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id
+            )
+            SELECT d.doc_id,
+                   sha256(coalesce(c.ct, d.text)) AS clean_sha256,
+                   length(coalesce(c.ct, d.text))::BIGINT AS n_chars_clean
+            FROM documents d LEFT JOIN cleaned c USING (doc_id)
         """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,

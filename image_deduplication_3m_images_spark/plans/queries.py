@@ -1008,6 +1008,24 @@ def q_dup_span_stats(spark, sf_dir):
     )
 
 
+def q_span_cleaned_digest(spark, sf_dir):
+    """The deduplicated corpus itself: every doc with its duplicated spans
+    cut out (``remove_duplicated_spans``), digested to sha256 + length so
+    the oracle can verify the reconstruction byte-for-byte against its own
+    string_agg-of-kept-segments rebuild."""
+    from image_deduplication_3m_images_spark.operators.substring import (
+        remove_duplicated_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = remove_duplicated_spans(docs, min_len=40)
+    return cleaned.select(
+        "doc_id",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha256"),
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+    )
+
+
 ALL_QUERIES = {
     "event_windows": q_event_windows,
     "pricing_summary": q_pricing_summary,
@@ -1055,4 +1073,5 @@ ALL_QUERIES = {
     "domain_topk": q_domain_topk,
     "substring_pairs": q_substring_pairs,
     "dup_span_stats": q_dup_span_stats,
+    "span_cleaned_digest": q_span_cleaned_digest,
 }

@@ -169,6 +169,23 @@ def test_duplicated_spans_union_across_partners(spark):
     assert got == [(3, 0, 45), (3, 105, 45)]
 
 
+def test_remove_duplicated_spans_cuts_exactly(spark):
+    from image_deduplication_3m_images_spark.operators.substring import (
+        remove_duplicated_spans,
+    )
+
+    rng = random.Random(19)
+    shared = _rand_text(rng, 50)
+    pre, post = _rand_text(rng, 15), _rand_text(rng, 15)
+    rows = [(1, shared), (2, pre + shared + post), (3, _rand_text(rng, 100))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in remove_duplicated_spans(df, MIN_LEN).collect()}
+    assert got[1] == shared            # first occurrence untouched
+    assert got[2] == pre + post        # the shared run cut out
+    assert got[3] == rows[2][1]        # loner untouched (JVM-only path)
+
+
 def test_fingerprint_density_and_determinism():
     s = "the quick brown fox jumps over the lazy dog " * 20
     a = _fingerprints_one(s, 33, 8)
