@@ -2,11 +2,11 @@
 an evaluation set (the GPT-3 appendix-C / PaLM-style contamination check).
 
 Scale shape: the eval set is small and fixed (benchmarks), the corpus is
-100 TB.  So the eval side is reduced to ONE row holding its distinct-gram
-array and broadcast; the corpus side is a PURE MAP — each doc builds its
-distinct gram array in-expression (no explode), intersects it with the
-broadcast array, and emits a count.  Zero corpus shuffles, zero UDFs; the
-whole check rides inside the scan's codegen stage.
+100 TB.  The eval side is reduced to its distinct grams and broadcast; the
+corpus side never shuffles its text.  The physical form adapts to the eval
+gram count (see ``contamination_flags``): a per-doc ``array_intersect``
+against one broadcast array when the eval set is small, a broadcast HASH
+join over exploded corpus grams when it is large.  Zero UDFs either way.
 
 Reference analog: none (image pipeline); target-side LLM-data-pipeline
 extension (SURVEY.md §2.8).  The n-gram formula is shared verbatim with
@@ -42,31 +42,66 @@ def contamination_flags(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    join_threshold: int = 100_000,
 ) -> DataFrame:
     """(corpus, eval set) -> (id, n_hits, is_contaminated) for every corpus
     doc.  ``n_hits`` counts DISTINCT eval n-grams the doc contains;
     ``is_contaminated`` is ``n_hits >= min_hits``.
 
-    The eval gram set must be broadcast-sized (real benchmarks are ~10^5-10^6
-    grams); the corpus may be arbitrarily large — it is never shuffled.
+    Two physical forms, switched on the eval gram count at the MEASURED
+    crossover (alternated same-window A/B, sf0.1, 32 cores):
+
+    - ``<= join_threshold`` grams: broadcast ONE array of eval grams and
+      ``array_intersect`` per doc — zero corpus exchanges, but the set is
+      re-hashed per row, O(|eval|) per doc.  At 29k eval grams: 0.5-0.8 s
+      vs the join form's 2.6 s (the explode constant dominates small work).
+    - above it: explode corpus grams through a BROADCAST HASH JOIN — O(1)
+      per gram, the relation hashed once per task; the only corpus-side
+      exchange is the narrow (id, partial count) row per doc after
+      map-side combine.  At 122k grams the forms tie (~1.3 s each); beyond,
+      the intersect form keeps growing linearly with |eval| (a benchmark
+      suite's 10^6 grams would be ~10x worse) while the join form is flat
+      in |eval|.
+
+    Both forms are exact and emit identical rows; the count() on the
+    deduped eval grams that picks the form is a job over the SMALL side
+    only, and doubles as the broadcast-size sanity gate.
     """
-    eval_grams = (
-        eval_df.select(
-            F.explode(word_ngrams_expr(F.col(text_col), n)).alias("g")
+    eval_grams = eval_df.select(
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("g")
+    ).dropDuplicates(["g"])
+    if eval_grams.count() <= join_threshold:
+        arr = eval_grams.agg(F.collect_list("g").alias("eval_grams"))
+        return (
+            corpus.select(
+                id_col, word_ngrams_expr(F.col(text_col), n).alias("_grams")
+            )
+            .crossJoin(F.broadcast(arr))
+            .select(
+                id_col,
+                F.size(F.array_intersect("_grams", "eval_grams")).alias("n_hits"),
+                (
+                    F.size(F.array_intersect("_grams", "eval_grams"))
+                    >= F.lit(min_hits)
+                ).alias("is_contaminated"),
+            )
         )
-        .agg(F.collect_set("g").alias("eval_grams"))
+    corpus_grams = corpus.select(
+        id_col,
+        # explode_outer: docs with no grams (shorter than n tokens) must
+        # still emit their n_hits=0 row; eval grams are distinct, so the
+        # left join cannot double-count
+        F.explode_outer(word_ngrams_expr(F.col(text_col), n)).alias("g"),
     )
     return (
-        corpus.select(
-            id_col, word_ngrams_expr(F.col(text_col), n).alias("_grams")
+        corpus_grams.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "g", "left"
         )
-        .crossJoin(F.broadcast(eval_grams))
+        .groupBy(id_col)
+        .agg(F.count("_hit").cast("int").alias("n_hits"))
         .select(
             id_col,
-            F.size(F.array_intersect("_grams", "eval_grams")).alias("n_hits"),
-            (
-                F.size(F.array_intersect("_grams", "eval_grams"))
-                >= F.lit(min_hits)
-            ).alias("is_contaminated"),
+            "n_hits",
+            (F.col("n_hits") >= F.lit(min_hits)).alias("is_contaminated"),
         )
     )

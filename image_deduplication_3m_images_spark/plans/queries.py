@@ -473,8 +473,9 @@ def q_contamination(spark, sf_dir):
     held-out eval set (planting rule mirrored in the oracle); every OTHER
     doc is checked for 5-gram overlap with it.  The documents table plants
     exact/near duplicates, so contamination genuinely fires across the
-    split.  Corpus side is map-only against a broadcast gram array — the
-    100 TB shape."""
+    split.  Corpus text is never shuffled; the operator picks array-
+    intersect vs broadcast-hash-join at a measured eval-size crossover —
+    the 100 TB shape."""
     from image_deduplication_3m_images_spark.operators.decontaminate import (
         contamination_flags,
     )

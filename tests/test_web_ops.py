@@ -181,9 +181,9 @@ def test_contamination_flags_planted(spark):
     assert not rows[3]["is_contaminated"] and rows[3]["n_hits"] == 0
 
 
-def test_contamination_corpus_never_shuffles(spark):
-    # the 100 TB contract: the corpus side is map-only vs a broadcast gram
-    # array — the ONLY exchange in the plan is the eval side's broadcast
+def test_contamination_small_eval_corpus_never_shuffles(spark):
+    # small-eval form: corpus side is map-only vs one broadcast gram array —
+    # the ONLY exchanges below the broadcast belong to the eval side
     from image_deduplication_3m_images_spark.operators.decontaminate import (
         contamination_flags,
     )
@@ -192,11 +192,60 @@ def test_contamination_corpus_never_shuffles(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
     plan = contamination_flags(corpus, eval_df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
-    # corpus subtree = everything ABOVE the broadcast subtree in the printed
-    # tree (the join streams the corpus side first); the eval side below it
-    # legitimately pays one SinglePartition exchange for its collect_set
     corpus_side = plan.split("BroadcastExchange", 1)[0]
     assert "Exchange" not in corpus_side, plan
+
+
+def test_contamination_large_eval_uses_hash_join_narrow_exchange(spark):
+    # large-eval form (forced via join_threshold=0): grams probe a broadcast
+    # HASH relation (never a shuffled join), and the only corpus-side
+    # exchange is the narrow per-doc count row — no text, no gram strings
+    from image_deduplication_3m_images_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    eval_df = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    plan = (
+        contamination_flags(corpus, eval_df, join_threshold=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    corpus_side = plan.split("BroadcastExchange", 1)[0]
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]+\)", corpus_side)
+    assert len(exchanges) == len(re.findall("Exchange", corpus_side)), plan
+    for e in exchanges:
+        assert "doc_id" in e and "text" not in e, e
+
+
+def test_contamination_both_forms_identical(spark):
+    from image_deduplication_3m_images_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight"),
+         (101, "pack my box with five dozen liquor jugs right now please")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "x the quick brown fox jumps over the lazy dog tonight y"),
+         (2, "pack my box with five dozen liquor jugs right now please"),
+         (3, "no overlap at all in this particular document body"),
+         (4, "tiny")],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, contamination_flags(corpus, eval_df, n=5).collect()))
+    b = sorted(map(tuple,
+                   contamination_flags(corpus, eval_df, n=5,
+                                       join_threshold=0).collect()))
+    assert a == b
+    assert any(r[2] for r in a) and any(not r[2] for r in a)
 
 
 def test_pipeline_canonicalize_urls_collapses_variants(spark, tmp_path):
