@@ -867,6 +867,28 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
                    length(coalesce(c.ct, d.text))::BIGINT AS n_chars_clean
             FROM documents d LEFT JOIN cleaned c USING (doc_id)
         """,
+        "substring_clusters": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id, substr(text, i::INT, 40) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text) - 38, 1))) AS i
+                    FROM documents)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
+        """,
         "length_quantiles": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,

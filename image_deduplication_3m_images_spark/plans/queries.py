@@ -1027,6 +1027,28 @@ def q_span_cleaned_digest(spark, sf_dir):
     )
 
 
+def q_substring_clusters(spark, sf_dir):
+    """Operator composition: connected components over the EXACT shared-
+    substring pair set — "docs connected by verbatim >=40-char overlap" is
+    the grouping a plagiarism/mirror-detection pass wants, and it exercises
+    the same O(log d) CC engine the flagship pipeline uses on a second,
+    independently-oracled edge set (recursive-CTE transitive closure)."""
+    from image_deduplication_3m_images_spark.operators.cluster import (
+        connected_components,
+    )
+    from image_deduplication_3m_images_spark.operators.substring import (
+        shared_substring_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = shared_substring_pairs(docs, min_len=40)
+    asg = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(asg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 ALL_QUERIES = {
     "event_windows": q_event_windows,
     "pricing_summary": q_pricing_summary,
@@ -1075,4 +1097,5 @@ ALL_QUERIES = {
     "substring_pairs": q_substring_pairs,
     "dup_span_stats": q_dup_span_stats,
     "span_cleaned_digest": q_span_cleaned_digest,
+    "substring_clusters": q_substring_clusters,
 }

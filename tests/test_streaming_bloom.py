@@ -128,6 +128,40 @@ def test_bloom_rebuilds_when_capacity_crossed(spark, tmp_path):
     assert _clusters(spark, cat) == _clusters(spark, cat_off)
 
 
+def test_bloom_crash_between_bloom_commit_and_append_loses_nothing(spark, tmp_path):
+    """The ordering claim in _update_url_bloom's docstring: if the process
+    dies AFTER the bloom commit but BEFORE any table append, the replayed
+    batch's rows are bloom HITS routed to the exact anti-join — which
+    passes them (they are not in signatures) — so nothing is silently
+    dropped and the final state equals the crash-free run."""
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        _update_url_bloom,
+    )
+
+    fx = generate_pages(n_rows=100, seed=39)
+    pages = pages_dataframe(spark, fx)
+    b0, b1 = _split_batches(pages, 2)
+    cfg = DedupConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    ingest_neardup_batch(spark, b0, 0, cat, cfg)
+    # simulate the crash window: bloom absorbs batch 1's urls, then "die"
+    # before any append / batch marker
+    state = _load_url_bloom(cat)
+    ids = b1.select("url")
+    _update_url_bloom(
+        spark, cat, ids, ids.count(), state, True, cfg, 1_000_000, 0.01, 256 << 20
+    )
+    n_sig_before = cat.read("signatures").count()
+    # replay: every batch-1 url now probes maybe-seen, yet must be ingested
+    ingest_neardup_batch(spark, b1, 1, cat, cfg)
+    assert cat.read("signatures").count() == n_sig_before + b1.count()
+    # and the end state equals a crash-free bloom-off run
+    cat_ref = ParquetCatalog(spark, str(tmp_path / "wh_ref"))
+    ingest_neardup_batch(spark, b0, 0, cat_ref, cfg, url_bloom=False)
+    ingest_neardup_batch(spark, b1, 1, cat_ref, cfg, url_bloom=False)
+    assert _clusters(spark, cat) == _clusters(spark, cat_ref)
+
+
 def test_bloom_self_heals_on_pre_bloom_warehouse(spark, tmp_path):
     """A warehouse created with url_bloom=False (or by older code) gains a
     bloom on the first bloom-enabled batch, seeded from the committed corpus
