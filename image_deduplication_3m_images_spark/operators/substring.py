@@ -159,6 +159,53 @@ def _shares_gram_udf(min_len: int):
     return _shares
 
 
+def _candidate_pairs(
+    fps: DataFrame, id_col: str, hot_cap: int | None = None
+) -> DataFrame:
+    """(id, fp) rows -> distinct candidate (id_a < id_b) pairs.
+
+    ``hot_cap=None`` (exact): every bucket expands to all pairs — required
+    when the EXACT pair set is the result (`shared_substring_pairs`).
+
+    ``hot_cap=K`` (star tier, the 100 TB guard): a boilerplate string shared
+    by millions of docs is ONE fingerprint bucket, and all-pairs there is
+    O(n^2) — the same failure mode the LSH stage caps (`operators/lsh.py`
+    tiers).  Buckets over K instead emit one STAR edge per member to the
+    bucket's min id.  That preserves per-doc span DETECTION whenever the
+    bucket min also carries the surrounding context (always true for
+    whole-boilerplate buckets) and component connectivity for clustering,
+    but is not the exact pair set — callers whose semantics are per-pair
+    must keep None.  Cost: one extra stats shuffle, exactly like the LSH
+    stats-driven tiering."""
+    if hot_cap is None:
+        grouped = (
+            fps.groupBy("fp")
+            .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+        return (
+            grouped.select(F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    stats = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_m")
+    )
+    tagged = fps.join(stats.where(F.col("_n") >= 2), "fp")
+    small = (
+        tagged.where(F.col("_n") <= hot_cap)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .select(F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    hot = (
+        tagged.where((F.col("_n") > hot_cap) & (F.col(id_col) != F.col("_m")))
+        .select(F.col("_m").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return small.unionByName(hot).dropDuplicates(["id_a", "id_b"])
+
+
 def _shared_positions_udf(min_len: int):
     """For a (text_a, text_b) pair, every 0-based position i in text_b whose
     ``min_len``-char gram occurs verbatim anywhere in text_a."""
@@ -185,6 +232,7 @@ def duplicated_spans(
     window: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """Span-level duplication (the actual Lee et al. 2022 deliverable):
     per doc, the MERGED character ranges covered by >= ``min_len``-char
@@ -199,20 +247,15 @@ def duplicated_spans(
     (doc, pos) -> interval merge with two JVM window passes (running max of
     pos+min_len flags island starts; running sum numbers islands).  Window
     partitions are per-doc and bounded by doc length, so no skew risk
-    beyond the corpus's max doc length."""
+    beyond the corpus's max doc length.
+
+    ``hot_cap`` (opt-in): star-tier huge fingerprint buckets (see
+    ``_candidate_pairs``) — span detection in a hot bucket is then
+    evidenced against the bucket's min-id doc only."""
     from pyspark.sql import Window
 
     fps = winnowed_fingerprints(docs, min_len, window, id_col, text_col)
-    grouped = (
-        fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    cand = (
-        grouped.select(F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")  # id_a < id_b: spans land on the b side
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _candidate_pairs(fps, id_col, hot_cap)  # id_a < id_b: b-side spans
     texts = docs.select(id_col, text_col)
     withtext = cand.join(
         texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
@@ -303,26 +346,16 @@ def shared_substring_pairs(
     window: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = None,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """EXACT (id_a < id_b) pairs of docs sharing a verbatim substring of
-    >= ``min_len`` characters.  ``max_bucket`` (opt-in) drops fingerprint
-    buckets larger than the cap — connectivity-preserving only if a second
-    fingerprint covers the pair, so leave None when the exact pair set
-    matters."""
+    >= ``min_len`` characters — with ``hot_cap=None``, the default.
+    ``hot_cap=K`` star-tiers oversize fingerprint buckets (see
+    ``_candidate_pairs``): connectivity-preserving for clustering use, but
+    no longer the exact pair set, so leave None when per-pair semantics
+    matter."""
     fps = winnowed_fingerprints(docs, min_len, window, id_col, text_col)
-    grouped = (
-        fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket)
-    cand = (
-        grouped.select(F.explode(_bucket_pairs_expr(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _candidate_pairs(fps, id_col, hot_cap)
     texts = docs.select(id_col, text_col)
     withtext = cand.join(
         texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
