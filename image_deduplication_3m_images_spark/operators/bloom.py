@@ -11,8 +11,11 @@ explicit and persistable, and with the residual exact join kept, so the
 result is EXACT: bloom false positives cost shuffle bytes, never rows.
 
 Scale shape at 100 TB:
-- build: one scan of seen; per-partition bitmaps OR-reduced (tree depth 2 in
-  ``_or_reduce``), so the driver holds O(m_bits/8) bytes, not O(partitions).
+- build: one scan of seen (plus a sizing count IF neither ``n_items`` nor
+  ``params`` is supplied — see ``build_bloom``); per-partition bitmaps are
+  OR-reduced by a depth-2 tree whose every level streams one bitmap at a
+  time (``_or_reduce``), so peak residency on any reducer AND the driver
+  is one bitmap + accumulator.
 - probe: one vectorized Arrow batch pass over new (numpy bit tests), zero
   shuffle for the definitely-new stream.
 - residual anti-join: |new| * fpp + |true dups| rows — broadcastable when
@@ -52,13 +55,20 @@ def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m_bits, min(k, 16)
 
 
-def _hash_cols(df: DataFrame, key_col: str) -> DataFrame:
-    """Two independent 64-bit hashes of the key, both JVM-side codegen
-    (xxhash64); h2 is decorrelated from h1 by hashing alongside a salt."""
-    return df.select(
-        F.xxhash64(F.col(key_col)).alias("h1"),
-        F.xxhash64(F.col(key_col), F.lit(_H2_SALT)).alias("h2"),
+def _hash_exprs(key_col: str):
+    """THE two 64-bit hash expressions (JVM-side codegen xxhash64; h2
+    decorrelated by a salt).  Build and probe must derive bit positions
+    from the SAME pair — sharing this single definition is what makes the
+    no-false-negatives invariant unbreakable by a one-sided edit."""
+    return (
+        F.xxhash64(F.col(key_col)),
+        F.xxhash64(F.col(key_col), F.lit(_H2_SALT)),
     )
+
+
+def _hash_cols(df: DataFrame, key_col: str) -> DataFrame:
+    h1, h2 = _hash_exprs(key_col)
+    return df.select(h1.alias("h1"), h2.alias("h2"))
 
 
 def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int) -> np.ndarray:
@@ -80,9 +90,16 @@ def build_bloom(
     fpp: float = 0.01,
     params: tuple[int, int] | None = None,
 ) -> tuple[bytes, int, int]:
-    """One-scan Bloom build over ``seen[key_col]``.  Returns
-    ``(bitmap_bytes, m_bits, k)`` — a plain-bytes artifact a catalog can
-    persist next to the snapshot it summarizes.
+    """Bloom build over ``seen[key_col]``.  Returns ``(bitmap_bytes,
+    m_bits, k)`` — a plain-bytes artifact a catalog can persist next to the
+    snapshot it summarizes.
+
+    ONE scan when the layout is known up front — pass ``params`` (merge
+    into an existing bloom) or ``n_items`` (an estimate is fine: catalog
+    row-count stats, file sizes / avg row width; fpp degrades gracefully
+    if it is low).  With NEITHER given, sizing needs the count first, so
+    the default pays a counting scan AND the build scan — acceptable for
+    one-off builds, but at 100 TB callers should supply ``n_items``.
 
     ``params=(m_bits, k)`` pins the layout so a new batch's bitmap can be
     OR-merged into an EXISTING persisted bloom (same positions for the same
@@ -123,27 +140,37 @@ def build_bloom(
 
 
 def _or_reduce(partials: DataFrame, n_bytes: int) -> bytes:
-    """Tree-OR of per-partition bitmaps: one shuffle to √P reducers that
-    each OR their share, then a driver OR of the reduced set — the driver
-    never materializes more than ~√P bitmaps."""
+    """Tree-OR of per-partition bitmaps: one shuffle to √P reducers, then
+    the driver ORs the reduced set.  STREAMING at every level — the reducer
+    folds its partition's rows one at a time (RDD mapPartitions iterator;
+    an applyInPandas/Arrow form would materialize the whole ~√P-bitmap
+    group at once), and the driver pulls the reduced rows one partition at
+    a time via toLocalIterator — so peak residency everywhere is ONE bitmap
+    plus the accumulator, never √P bitmaps.  (Per-partition imperative
+    fold over opaque byte blobs is the one shape where the RDD API is the
+    right tool — there is no columnar structure for Catalyst to use.)"""
     n_parts = partials.rdd.getNumPartitions()
     fan_in = max(1, int(math.sqrt(max(1, n_parts))))
 
-    def _or_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(n_bytes, dtype=np.uint8)
-        for b in pdf["bitmap"]:
-            acc |= np.frombuffer(b, dtype=np.uint8)
-        return pd.DataFrame({"bitmap": [acc.tobytes()]})
+    def _or_iter(rows):
+        acc = None
+        for r in rows:
+            b = np.frombuffer(r, dtype=np.uint8)
+            if acc is None:
+                acc = b.copy()
+            else:
+                acc |= b
+        if acc is not None:
+            yield acc.tobytes()
 
     reduced = (
-        partials.withColumn("g", F.spark_partition_id() % fan_in)
-        .groupBy("g")
-        .applyInPandas(lambda _key, pdf: _or_group(pdf), schema="bitmap binary")
-        .collect()
+        partials.rdd.map(lambda row: row["bitmap"])
+        .repartition(fan_in)
+        .mapPartitions(_or_iter)
     )
     acc = np.zeros(n_bytes, dtype=np.uint8)
-    for row in reduced:
-        acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    for b in reduced.toLocalIterator():
+        acc |= np.frombuffer(b, dtype=np.uint8)
     return acc.tobytes()
 
 
@@ -169,22 +196,23 @@ def incremental_new(
     key_col: str,
     bloom: tuple[bytes, int, int] | None = None,
     fpp: float = 0.01,
+    n_seen: int | None = None,
 ) -> DataFrame:
     """EXACT ``new ∖ seen`` on ``key_col``, with the bloom as a map-side
     router: rows whose key definitely never appeared in seen are emitted
     without touching a shuffle; only might-contain rows (true dups + fpp
     false positives) enter the exact anti-join.  Passing a prebuilt
-    ``bloom`` (the persisted artifact) makes this a zero-extra-scan path.
+    ``bloom`` (the persisted artifact) makes this a zero-extra-scan path;
+    otherwise pass ``n_seen`` (estimate ok) to avoid the sizing count scan
+    (see :func:`build_bloom`).
     """
     spark = new.sparkSession
     if bloom is None:
-        bloom = build_bloom(seen, key_col, fpp=fpp)
+        bloom = build_bloom(seen, key_col, n_items=n_seen, fpp=fpp)
     bitmap, m_bits, k = bloom
     probe = might_contain_col(spark, bitmap, m_bits, k)
-    flagged = new.withColumn(
-        "_maybe_seen",
-        probe(F.xxhash64(F.col(key_col)), F.xxhash64(F.col(key_col), F.lit(_H2_SALT))),
-    )
+    h1, h2 = _hash_exprs(key_col)  # the build's exact expressions
+    flagged = new.withColumn("_maybe_seen", probe(h1, h2))
     fresh = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
     # anti-join is dup-insensitive on its right side — no pre-distinct shuffle
     residual = (

@@ -47,8 +47,11 @@ def pack_documents(
     be contiguous ranges, and empty buckets cost nothing.
     """
     d = docs.select(id_col, tokens_col)
+    # integral `div`, not float `/` + cast: `/` on longs goes through double,
+    # whose 53-bit mantissa silently rounds ids above 2^53 (content-hash-
+    # derived ids are 64-bit) — `div` states the intent with no precision cliff
     bucketed = d.withColumn(
-        "_bucket", (F.col(id_col) / F.lit(bucket_rows)).cast("long")
+        "_bucket", F.expr(f"`{id_col}` div {int(bucket_rows)}")
     )
 
     # phase 1+2: per-bucket totals, then the EXCLUSIVE running total of the
@@ -88,8 +91,6 @@ def pack_documents(
             id_col,
             tokens_col,
             (F.col("_base") + F.col("_local")).alias("offset"),
-            ((F.col("_base") + F.col("_local")) / F.lit(budget))
-            .cast("long")
-            .alias("pack_id"),
+            F.expr(f"(_base + _local) div {int(budget)}").alias("pack_id"),
         )
     )

@@ -206,6 +206,20 @@ def _candidate_pairs(
     return small.unionByName(hot).dropDuplicates(["id_a", "id_b"])
 
 
+def _pairs_with_texts(
+    cand: DataFrame, texts: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Attach ``text_a``/``text_b`` to (id_a, id_b) candidate pairs — the
+    one join scaffold shared by the span and pair verifiers."""
+    return cand.join(
+        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
+        "id_a",
+    ).join(
+        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")),
+        "id_b",
+    )
+
+
 def _shared_positions_udf(min_len: int):
     """For a (text_a, text_b) pair, every 0-based position i in text_b whose
     ``min_len``-char gram occurs verbatim anywhere in text_a."""
@@ -256,14 +270,7 @@ def duplicated_spans(
 
     fps = winnowed_fingerprints(docs, min_len, window, id_col, text_col)
     cand = _candidate_pairs(fps, id_col, hot_cap)  # id_a < id_b: b-side spans
-    texts = docs.select(id_col, text_col)
-    withtext = cand.join(
-        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
-        "id_a",
-    ).join(
-        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")),
-        "id_b",
-    )
+    withtext = _pairs_with_texts(cand, docs.select(id_col, text_col), id_col, text_col)
     positions = _shared_positions_udf(min_len)
     pos = (
         withtext.select(
@@ -307,8 +314,14 @@ def remove_duplicated_spans(
     (== ``text_col`` when the doc has no duplicated span).
 
     Spans are grouped per doc into one sorted array (batch-sized: only docs
-    WITH spans reach the groupBy), left-joined back, and the cut is one
-    Arrow pass; docs without spans never leave the JVM."""
+    WITH spans reach the groupBy), INNER-joined to their texts so the Arrow
+    cut pass runs over span docs only, then the batch-sized (id, clean)
+    frame left-joins back and ``coalesce`` fills untouched docs JVM-side.
+    A ``when().otherwise(udf)`` guard would NOT achieve this: Spark hoists
+    Python UDFs out of conditionals into an ArrowEvalPython node evaluated
+    for EVERY row, shipping the whole corpus's text through Arrow; the
+    split-then-union-by-join shape is how docs without spans truly never
+    leave the JVM."""
     spans = duplicated_spans(docs, min_len, window, id_col, text_col)
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
@@ -331,13 +344,18 @@ def remove_duplicated_spans(
             out.append("".join(kept))
         return pd.Series(out)
 
-    joined = docs.join(per_doc, id_col, "left")
-    return joined.withColumn(
-        "clean_text",
-        F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
-            _cut(F.col(text_col), F.col("_spans"))
-        ),
-    ).drop("_spans")
+    cleaned = (
+        docs.select(id_col, text_col)
+        .join(per_doc, id_col)  # inner: span docs only cross the boundary
+        .select(
+            id_col, _cut(F.col(text_col), F.col("_spans")).alias("_clean")
+        )
+    )
+    return (
+        docs.join(cleaned, id_col, "left")
+        .withColumn("clean_text", F.coalesce("_clean", F.col(text_col)))
+        .drop("_clean")
+    )
 
 
 def shared_substring_pairs(
@@ -356,14 +374,7 @@ def shared_substring_pairs(
     matter."""
     fps = winnowed_fingerprints(docs, min_len, window, id_col, text_col)
     cand = _candidate_pairs(fps, id_col, hot_cap)
-    texts = docs.select(id_col, text_col)
-    withtext = cand.join(
-        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")),
-        "id_a",
-    ).join(
-        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")),
-        "id_b",
-    )
+    withtext = _pairs_with_texts(cand, docs.select(id_col, text_col), id_col, text_col)
     shares = _shares_gram_udf(min_len)
     return withtext.where(shares(F.col("text_a"), F.col("text_b"))).select(
         "id_a", "id_b"

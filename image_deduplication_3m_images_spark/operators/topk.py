@@ -26,6 +26,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _hashable(dt: DataType) -> bool:
+    """xxhash64 rejects MapType anywhere in a column's type (unordered keys
+    have no canonical hash since Spark 3.0) — recurse so a map nested in a
+    struct/array is excluded too."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def top_k_per_group(
@@ -45,9 +59,18 @@ def top_k_per_group(
     per group.  With the default 32 salts and k=5 the final window touches
     at most 160 rows per group no matter how large the group is.
     """
-    # deterministic shard: hash the whole row's ordering key, not rand() —
-    # re-runs and resumed stages must shard identically
-    salt = (F.abs(F.xxhash64(*[c for c in df.columns])) % n_salts).alias("_salt")
+    # deterministic shard: hash the row's hashable columns, not rand() —
+    # re-runs and resumed stages must shard identically.  pmod keeps the
+    # shard id in [0, n_salts) (abs(Long.MIN_VALUE) stays negative); map
+    # columns are excluded (xxhash64 rejects them), and a frame with NO
+    # hashable column falls back to a rand shard — exactness never depends
+    # on WHICH shard a row lands in, only re-run shard identity does.
+    hash_cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    salt = (
+        F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
+        if hash_cols
+        else F.floor(F.rand(seed=0) * n_salts).cast("long")
+    ).alias("_salt")
     w_local = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
     survivors = (
         df.select("*", salt)

@@ -24,11 +24,20 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-len", type=int, default=40,
-                    help="minimum duplicated span length (characters)")
+                    help="minimum duplicated span length (characters); "
+                    "must be >= window + 2 of the winnowing kernel (>= 10)")
+    ap.add_argument("--window", type=int, default=8,
+                    help="winnowing window (gram_len = min_len - window + 1)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.min_len < args.window + 2:
+        ap.error(
+            f"--min-len {args.min_len} too small: the winnowing kernel needs "
+            f"gram_len = min_len - window + 1 >= 2, i.e. --min-len >= "
+            f"{args.window + 2} at --window {args.window} (or lower --window)"
+        )
 
     from pyspark.sql import functions as F
 
@@ -42,7 +51,8 @@ def main() -> None:
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     cleaned = remove_duplicated_spans(
-        docs, min_len=args.min_len, id_col=args.id_col, text_col=args.text_col
+        docs, min_len=args.min_len, window=args.window,
+        id_col=args.id_col, text_col=args.text_col
     )
     out = cleaned.withColumnRenamed(args.text_col, "original_text")
     out.write.mode("overwrite").parquet(args.output)
