@@ -279,7 +279,7 @@ def verify_pairs(
     # (The reference's conjunctive stage cascade over-filters light edits —
     # its stage-2 color pass rejecting true dups was a documented bug class,
     # /root/reference/MEMORY_FIXES_SUMMARY.md.)
-    min_matches = math.ceil(cfg.jaccard_threshold * cfg.num_perm)  # 0.8*128 -> 103
+    min_matches = math.ceil(cfg.jaccard_threshold * cfg.num_perm)  # 0.7*128 -> 90
     sim_ok = (F.col("sig_matches") >= F.lit(min_matches)) | (
         F.col("hamming") <= F.lit(cfg.hamming_max)
     )

@@ -33,9 +33,16 @@ def stream_signatures(
 ):
     """Continuously sign new page files landing in ``input_dir``.
 
-    Exactly-once via the streaming checkpoint (file-source offsets) — the
-    streaming counterpart of the lineage anti-join resume.  Returns the
-    started StreamingQuery; callers ``awaitTermination()``.
+    Source offsets live in the streaming checkpoint, but ``foreachBatch``
+    itself is AT-LEAST-ONCE: a crash after the sink write commits but
+    before the epoch is recorded replays the batch.  The sink is therefore
+    made IDEMPOTENT — each batch dynamically overwrites its OWN
+    ``batch_id=N`` partition, so a replay rewrites the same files instead
+    of appending a second copy.  (A plain ``mode("append")`` here would
+    silently double-count a replayed batch: this output is raw parquet
+    with no dropDuplicates-on-read healing layer, unlike the catalog
+    tables.)  Returns the started StreamingQuery; callers
+    ``awaitTermination()``.
     """
     cfg = cfg or DedupConfig()
     pages_schema = (
@@ -47,7 +54,9 @@ def stream_signatures(
         (
             build_signatures(batch_df, cfg)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_dir)
         )
 
@@ -265,10 +274,23 @@ def _update_url_bloom(
     over a warehouse's lifetime) — unless that would exceed ``max_bytes``,
     in which case the existing bitmap is kept (a saturated bloom degrades
     fpp, never correctness) and the crossing is logged once to lineage.
+    A first creation already over ``max_bytes`` stores a DISABLED sentinel
+    (m_bits=0) so the decision — like the crossing — is made and logged
+    exactly once, not re-evaluated every micro-batch.
+
+    The ``n_inserted`` counter is replay-stable: against an existing bloom,
+    this batch's contribution is counted as its bloom-MISSES (ids the
+    bitmap has never seen), so a crash-replayed batch — whose urls were
+    inserted by the crashed attempt — adds ~0, not a second full count.
+    The fpp-fraction of genuinely-new ids probe positive and go uncounted,
+    so the counter runs ~fpp low; the 2x capacity headroom at (re)build
+    absorbs that bias.
     """
     from image_deduplication_3m_images_spark.operators.bloom import (
+        _hash_exprs,
         bloom_params,
         build_bloom,
+        might_contain_col,
     )
     from image_deduplication_3m_images_spark.plans.dedupe import ID
 
@@ -292,11 +314,21 @@ def _update_url_bloom(
                 cfg.config_hash(),
                 extra={"needed_bytes": m_bits // 8, "max_bytes": max_bytes},
             )
+            # persist the decision: m_bits=0 sentinel keeps later batches
+            # from re-sizing and re-logging this every trigger
+            _store_url_bloom(spark, cat, b"", 0, 0, n_total, 0)
             return
         bitmap, m_bits, k = build_bloom(_corpus_ids(), ID, params=(m_bits, k))
         _store_url_bloom(spark, cat, bitmap, m_bits, k, n_total, capacity)
         return
 
+    if state["m_bits"] == 0:
+        return  # disabled sentinel: decided + logged at first creation
+
+    # replay-stable contribution (docstring): count this batch's bloom-MISSES
+    h1, h2 = _hash_exprs(ID)
+    probe = might_contain_col(spark, state["bitmap"], state["m_bits"], state["k"])
+    n_new = new_ids.where(~probe(h1, h2)).count()
     n_ins = state["n_inserted"] + n_new
     if n_ins > state["n_capacity"]:
         cap2 = state["n_capacity"]
@@ -426,7 +458,7 @@ def ingest_neardup_batch(
         # through the same anti-join, misses are definitely-new.
         batch_ids = batch_df.select(ID).distinct()
         n_maybe = None
-        if bloom_state is not None:
+        if bloom_state is not None and bloom_state["m_bits"] > 0:
             from image_deduplication_3m_images_spark.operators.bloom import (
                 _H2_SALT,
                 might_contain_col,
@@ -450,17 +482,33 @@ def ingest_neardup_batch(
     # WITHIN-batch re-delivery: one url twice in a micro-batch would emit two
     # signature rows with the SAME batch_id (nondeterministic winner under
     # dropDuplicates-on-read if the html differs) — keep one row per url
-    # before signing.  POLICY (here and for the cross-batch guard above):
-    # re-crawled content is FIRST-WRITE-WINS — a url's signatures, edges and
-    # cluster membership reflect the first html ingested for it; re-crawls
-    # with changed content are dropped, not re-clustered (ADVICE r4 item 2).
-    batch_df = batch_df.dropDuplicates([ID])
+    # before signing, chosen DETERMINISTICALLY (min content hash), because a
+    # crash-replay re-runs this pick: dropDuplicates keeps an arbitrary row,
+    # so a replay could sign different html than the crashed attempt whose
+    # partial edge appends are already committed — exactly the stale-edge
+    # nondeterminism the guard exists to rule out.  POLICY (here and for the
+    # cross-batch guard above): re-crawled content is FIRST-WRITE-WINS — a
+    # url's signatures, edges and cluster membership reflect the first html
+    # ingested for it; re-crawls with changed content are dropped, not
+    # re-clustered (ADVICE r4 item 2).
+    from pyspark.sql import Window
+
+    w_dedup = Window.partitionBy(ID).orderBy(
+        F.xxhash64(F.col("html")).asc_nulls_first(),
+        F.xxhash64(F.col("text")).asc_nulls_first(),
+    )
+    batch_df = (
+        batch_df.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     sig_new = (
         build_signatures(batch_df, cfg)
         .withColumn("batch_id", F.lit(batch_id))
         .localCheckpoint(eager=True)  # used 4x below; batch-sized, not corpus-sized
     )
+    n_new = sig_new.count()
     if url_bloom:
         # committed BEFORE any table append — bloom must stay a superset of
         # ingested urls under any crash point (docstring of _update_url_bloom)
@@ -468,7 +516,7 @@ def ingest_neardup_batch(
             spark,
             cat,
             sig_new.select(ID),
-            sig_new.count(),
+            n_new,
             bloom_state,
             has_old,
             cfg,
@@ -489,8 +537,24 @@ def ingest_neardup_batch(
     else:
         sig_all, bands_all = sig_new, bands_new
 
+    # Broadcast the NEW side only when it fits cluster-wide (same two-level
+    # byte guard as the batch pipeline: object size AND size x executors —
+    # a broadcast is fetched+held PER EXECUTOR).  A normal micro-batch is
+    # tiny and broadcasts (corpus bands scan map-side, no shuffle); a huge
+    # backfill batch (availableNow over a pre-existing directory delivers
+    # the WHOLE backlog as one batch) falls back to a plain shuffle join,
+    # which is the right plan at that size rather than an >8 GB broadcast.
+    from image_deduplication_3m_images_spark.session import executor_count
+
+    n_exec = executor_count(spark)
+    bands_rows = n_new * cfg.bands
+    bands_bytes = bands_rows * 64  # id + band_id + band_key longs + row overhead
+    small_bands = (
+        bands_bytes < 256 * 1024 * 1024 and bands_bytes * n_exec < 1 << 30
+    )
+    new_side = bands_new.select("band_id", "band_key", F.col(ID).alias("id_n"))
     pairs = (
-        F.broadcast(bands_new.select("band_id", "band_key", F.col(ID).alias("id_n")))
+        (F.broadcast(new_side) if small_bands else new_side)
         .join(
             bands_all.select("band_id", "band_key", F.col(ID).alias("id_o")),
             ["band_id", "band_key"],
@@ -514,7 +578,8 @@ def ingest_neardup_batch(
         F.avg(F.length("id_a") + F.length("id_b")).alias("avg_id_bytes"),
     ).collect()[0]
     est_bytes = (stats["n"] or 0) * ((stats["avg_id_bytes"] or 0.0) + 16)
-    small_pairs = est_bytes < 256 * 1024 * 1024
+    # two-level like the batch guard: object size AND cluster-wide cost
+    small_pairs = est_bytes < 256 * 1024 * 1024 and est_bytes * n_exec < 1 << 30
     verified = verify_pairs(
         F.broadcast(pairs) if small_pairs else pairs,
         sig_all,

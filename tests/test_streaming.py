@@ -464,3 +464,41 @@ def test_ingest_auto_compaction_bounds_delta(spark, tmp_path):
         return {frozenset(g) for g in groups.values() if len(g) > 1}
 
     assert partition(got) == partition(batch)
+
+
+def test_within_batch_duplicate_url_winner_is_deterministic(spark, tmp_path):
+    """One url delivered twice in a micro-batch with DIFFERENT html: the
+    signed row must be the same (min content hash) no matter the delivery
+    order — dropDuplicates' arbitrary winner would let a crash-replay sign
+    different html than the crashed attempt whose edges already committed."""
+    from image_deduplication_3m_images_spark.config import DedupConfig
+    from image_deduplication_3m_images_spark.sources.checkpoint import ParquetCatalog
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        ingest_neardup_batch,
+    )
+
+    pages = pages_dataframe(spark, generate_pages(n_rows=20, seed=47))
+    first_url = pages.select("url").orderBy("url").limit(1).collect()[0]["url"]
+    mutated = (
+        pages.where(F.col("url") == first_url)
+        .withColumn(
+            "html",
+            F.encode(
+                F.lit("<html><body><p>mutated alternate delivery</p></body></html>"),
+                "utf-8",
+            ),
+        )
+        .withColumn("text", F.lit("mutated alternate delivery"))
+    )
+    cfg = DedupConfig()
+    texts = {}
+    for name, batch in (
+        ("orig_first", pages.unionByName(mutated)),
+        ("mutated_first", mutated.unionByName(pages)),
+    ):
+        cat = ParquetCatalog(spark, str(tmp_path / name))
+        ingest_neardup_batch(spark, batch, 0, cat, cfg)
+        sigs = cat.read("signatures").where(F.col("url") == first_url).collect()
+        assert len(sigs) == 1  # exactly one signed row for the url
+        texts[name] = sigs[0]["text"]
+    assert texts["orig_first"] == texts["mutated_first"]

@@ -182,3 +182,52 @@ def test_bloom_self_heals_on_pre_bloom_warehouse(spark, tmp_path):
     sigs = cat.read("signatures")
     assert sigs.count() == sigs.select("url").distinct().count()
     assert sigs.where(F.col("batch_id") == 2).count() == 0
+
+
+def test_bloom_disabled_sentinel_decided_once(spark, tmp_path):
+    """A first creation over max_bytes must persist a disabled sentinel:
+    the decision is logged to lineage exactly ONCE, later batches neither
+    re-size nor re-log, and results stay equal to the bloom-off run."""
+    fx = generate_pages(n_rows=60, seed=41)
+    pages = pages_dataframe(spark, fx)
+    b0, b1 = _split_batches(pages, 2)
+    cfg = DedupConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat_off = ParquetCatalog(spark, str(tmp_path / "wh_off"))
+    for i, b in enumerate((b0, b1)):
+        ingest_neardup_batch(
+            spark, b, i, cat, cfg, url_bloom=True, url_bloom_max_bytes=1
+        )
+        ingest_neardup_batch(spark, b, i, cat_off, cfg, url_bloom=False)
+    state = _load_url_bloom(cat)
+    assert state is not None and state["m_bits"] == 0  # persisted sentinel
+    events = cat.read("_lineage").where(F.col("stage") == "url_bloom_disabled")
+    assert events.count() == 1  # decided once, not once per micro-batch
+    assert _clusters(spark, cat) == _clusters(spark, cat_off)
+
+
+def test_bloom_counter_stable_under_crash_replay(spark, tmp_path):
+    """n_inserted counts a batch's bloom-MISSES, so a crash-replayed batch
+    (urls already absorbed by the crashed attempt's bloom commit) adds
+    exactly 0 — the counter can run ~fpp low, but never double-counts."""
+    from image_deduplication_3m_images_spark.streaming.incremental import (
+        _update_url_bloom,
+    )
+
+    fx = generate_pages(n_rows=100, seed=43)
+    pages = pages_dataframe(spark, fx)
+    b0, b1 = _split_batches(pages, 2)
+    cfg = DedupConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    ingest_neardup_batch(spark, b0, 0, cat, cfg)
+    # crash window: bloom absorbs batch 1, then "die" pre-append
+    state = _load_url_bloom(cat)
+    ids = b1.select("url")
+    _update_url_bloom(
+        spark, cat, ids, ids.count(), state, True, cfg, 1_000_000, 0.01, 256 << 20
+    )
+    n_after_crash = _load_url_bloom(cat)["n_inserted"]
+    ingest_neardup_batch(spark, b1, 1, cat, cfg)  # the replay
+    n_final = _load_url_bloom(cat)["n_inserted"]
+    assert n_final == n_after_crash  # replayed urls contribute zero
+    assert n_final <= pages.select("url").distinct().count()  # never over
