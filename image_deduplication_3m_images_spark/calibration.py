@@ -9,9 +9,15 @@ immediately before the timed work.  To compare walls across windows,
 divide each wall by its run's calibration (a window where the kernel takes
 2x longer is a window where everything takes ~2x longer).
 
-The kernel is pure register/vector arithmetic over an in-cache array — no
-allocation in the loop, no disk, no Python-level per-element work — so it
-tracks CPU-steal/frequency noise, not memory or IO weather.
+The kernel is vector arithmetic over a 16 MiB array with no disk and no
+Python-level per-element work.  Honest scope note: ``v * a + b`` allocates
+two array temporaries per iteration, so the constant tracks CPU steal AND
+a slice of memory-bandwidth/allocator weather — on this box those move
+together under co-tenancy, which is what we normalize for.  The kernel is
+deliberately FROZEN as-is: every recorded constant in
+``BENCH/scaling_runs.jsonl`` and the per-round bench JSONs was measured
+with this exact loop, and changing it (e.g. to in-place ops) would break
+cross-round comparability of the one number that exists to provide it.
 """
 
 from __future__ import annotations
@@ -30,12 +36,14 @@ def _one_pass(n: int, iters: int) -> float:
     a = np.uint64(6364136223846793005)
     b = np.uint64(1442695040888963407)
     sh = np.uint64(33)
-    t0 = time.time()
+    # perf_counter: monotonic — an NTP clock step mid-pass must not corrupt
+    # the constant (time.time() is not step-safe)
+    t0 = time.perf_counter()
     for _ in range(iters):
         v = v * a + b
         v ^= v >> sh
     _ = int(v[0])  # force materialization
-    return time.time() - t0
+    return time.perf_counter() - t0
 
 
 def calibration_const(n: int = _N, iters: int = _ITERS, passes: int = 3) -> float:

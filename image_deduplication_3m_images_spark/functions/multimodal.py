@@ -101,6 +101,21 @@ def image_features(media: DataFrame) -> DataFrame:
     decoder = _real_decoder()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pillow":
+            # the probe ran on the DRIVER; fail loudly on driver/executor
+            # package skew instead of an opaque per-task ImportError storm
+            import io
+
+            try:
+                from PIL import Image
+            except ImportError as e:
+                raise RuntimeError(
+                    "driver probed Pillow as the image decoder but this "
+                    "executor cannot import it — ship the package to "
+                    "executors (spark-submit --archives/--py-files) or "
+                    "remove it from the driver env to use the marked "
+                    "deterministic fake decode"
+                ) from e
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
             if pdf.empty:
@@ -108,10 +123,6 @@ def image_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if decoder == "pillow":
-                    import io
-
-                    from PIL import Image
-
                     try:
                         img = Image.open(io.BytesIO(payload))
                         w, h = img.size
@@ -189,6 +200,7 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
     base = docs.select(
         F.col(id_col).cast("long").alias("media_id"),
         src.cast("long").alias("src_id"),
+        F.col(text_col).alias("_own_text"),
     )
     texts = docs.select(
         F.col(id_col).cast("long").alias("src_id"),
@@ -198,10 +210,14 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
         F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
         (F.col("media_id") % 3 + 1).cast("int"),
     )
-    return base.join(texts, "src_id").select(
+    # LEFT join + coalesce to the row's OWN text: an id-space gap (filtered
+    # corpus where doc id-9 is absent) must not silently DROP the media row
+    # — row preservation holds for any input; such a row simply has no
+    # planted duplicate (mirrored in the DuckDB oracle's LEFT JOIN)
+    return base.join(texts, "src_id", "left").select(
         "media_id",
         kind.alias("kind"),
-        F.encode(F.col("_payload_text"), "UTF-8").alias("payload"),
+        F.encode(F.coalesce("_payload_text", "_own_text"), "UTF-8").alias("payload"),
         F.lit(None).cast("string").alias("source_url"),
     )
 

@@ -80,6 +80,18 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
 
 
+def word_ngrams_window_expr(toks: Column, n: int) -> Column:
+    """Every ``n``-token window of a token array, space-joined — THE shared
+    word-n-gram formula (decontamination, n-gram Jaccard, repetition stats,
+    boilerplate mining all use this one expression; the DuckDB oracles
+    mirror it).  Callers guard ``size(toks) >= n`` themselves: below that
+    the sequence bound is negative (descending = invalid)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # M8: quality score (reference: Laplacian-variance detail score capped at 100,
 # /root/reference/modules/deduplication.py:1575-1609).  Webtext analog:

@@ -24,13 +24,20 @@ def pick_best(
     Exactly one ``is_best`` per cluster; ties broken by ascending id —
     deterministic (FIXTURES.md §4 best-pick determinism; reference tie-break
     was dict-iteration order, a nondeterminism we fix).
+
+    LEFT join on quality: a member missing from ``quality_df`` (quality
+    computed over a filtered subset) keeps its row with NULL quality —
+    ``desc`` ordering puts NULLs last, so a quality-less member never wins
+    ``is_best`` unless the whole cluster lacks quality (then min-id wins).
+    An inner join here would silently shrink ``cluster_size`` and could
+    delete a cluster's only ``is_best`` row.
     """
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
     sized = Window.partitionBy("cluster_id")
     return (
-        assignments.join(quality_df.select(id_col, quality_col), id_col)
+        assignments.join(quality_df.select(id_col, quality_col), id_col, "left")
         .withColumn("cluster_size", F.count(F.lit(1)).over(sized))
         .withColumn("is_best", F.row_number().over(w) == 1)
     )

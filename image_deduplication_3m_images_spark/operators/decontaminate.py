@@ -18,16 +18,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from image_deduplication_3m_images_spark.functions.text import (
+    tokens_expr,
+    word_ngrams_window_expr,
+)
+
 
 def word_ngrams_expr(text_col, n: int):
     """Distinct word ``n``-grams of a text column as ONE array expression —
     empty array (not null, not a negative-range artifact) for docs shorter
-    than ``n`` tokens."""
-    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    than ``n`` tokens.  Tokenization and the window formula come from the
+    shared helpers in ``functions/text.py`` — one definition for every
+    n-gram operator and the oracles."""
+    toks = tokens_expr(text_col)
+    grams = word_ngrams_window_expr(toks, n)
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(
             F.expr("CAST(array() AS array<string>)")

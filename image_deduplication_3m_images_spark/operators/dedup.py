@@ -10,13 +10,15 @@ groupBy on sha256(text) — one shuffle, fully codegen'd, no UDF.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from image_deduplication_3m_images_spark.config import DedupConfig
-from image_deduplication_3m_images_spark.functions.text import sha256_expr
+from image_deduplication_3m_images_spark.functions.text import (
+    sha256_expr,
+    tokens_expr,
+    word_ngrams_window_expr,
+)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -64,9 +66,13 @@ def hamming_block_pairs(
     """
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
+    # NULL hashes would sail past the hot-tier split (the stats equality
+    # join never matches a null chunk, so a million null-hash rows would
+    # all land in ONE unbounded collect_list) and their pairs are discarded
+    # by the bit_count filter anyway — drop them up front
+    df = df.where(F.col(hash_col).isNotNull())
     n_chunks = radius + 1
     width = 64 // n_chunks
-    mask = (1 << width) - 1
 
     def chunk_expr(i: int):
         # last chunk takes the remaining high bits so all 64 are covered
@@ -149,9 +155,12 @@ def hamming_block_pairs(
 def simhash_block_pairs(
     sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup candidates: Hamming <= 3 via 4x16-bit pigeonhole
-    chunk blocking (see hamming_block_pairs)."""
-    return hamming_block_pairs(sig_df, "simhash", id_col, radius=3)
+    """SimHash near-dup candidates: Hamming <= ``cfg.hamming_max`` via
+    (hamming_max+1)-chunk pigeonhole blocking (see hamming_block_pairs).
+    The radius comes from the config — hard-coding 3 here made the
+    ``hamming_max`` knob a silent no-op for this operator while verify.py
+    honored it."""
+    return hamming_block_pairs(sig_df, "simhash", id_col, radius=cfg.hamming_max)
 
 
 def ngram_jaccard_pairs(
@@ -183,16 +192,11 @@ def ngram_jaccard_pairs(
             .dropDuplicates([id_col])
         )
         df = df.join(F.broadcast(ids), id_col, "leftsemi")
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = tokens_expr(F.col(text_col))
     n_toks = F.size(toks)
     grams = F.when(
         n_toks >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_toks - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
+        F.array_distinct(word_ngrams_window_expr(toks, n)),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     gdf = df.select(F.col(id_col), grams.alias("grams"))
     a = gdf.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
@@ -230,7 +234,7 @@ def repetition_stats(
     broadcast vs SMJ by measured size.  Fractions are emitted as plain IEEE
     divisions (no rounding) so the DuckDB oracle reproduces them bit-for-bit.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = tokens_expr(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("toks")).select(
         id_col,
         F.size("toks").cast("int").alias("n_tokens"),
@@ -239,12 +243,7 @@ def repetition_stats(
     )
     bigrams = base.where(F.col("n_tokens") >= 2).select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - 2),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
-            )
-        ).alias("bigram"),
+        F.explode(word_ngrams_window_expr(F.col("toks"), 2)).alias("bigram"),
     )
     per_doc = (
         bigrams.groupBy(id_col, "bigram")
@@ -297,16 +296,11 @@ def boilerplate_ngrams(
     to 8-byte hashes before the exchange (same trick as the LSH band keys);
     kept as strings here so the output is directly greppable/joinable.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = tokens_expr(F.col(text_col))
     toked = df.select(F.col(id_col), toks.alias("toks")).where(F.size("toks") >= n)
     grams = toked.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("ngram"),
+        F.explode(word_ngrams_window_expr(F.col("toks"), n)).alias("ngram"),
     )
     return (
         grams.groupBy("ngram", id_col)

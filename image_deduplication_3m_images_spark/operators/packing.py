@@ -46,6 +46,11 @@ def pack_documents(
     ``id_col div bucket_rows`` — ids need not be dense; buckets only need to
     be contiguous ranges, and empty buckets cost nothing.
     """
+    if budget <= 0 or bucket_rows <= 0:
+        # `x div 0` is NULL under non-ANSI Spark — a mis-wired budget would
+        # silently collapse the corpus into one NULL pack
+        raise ValueError(f"budget and bucket_rows must be > 0, got "
+                         f"{budget=}, {bucket_rows=}")
     d = docs.select(id_col, tokens_col)
     # integral `div`, not float `/` + cast: `/` on longs goes through double,
     # whose 53-bit mantissa silently rounds ids above 2^53 (content-hash-

@@ -49,8 +49,17 @@ def cosine_expr(a, b):
     the generated method exceeds janino's 64 KB limit with norms inline
     (hard fallback) and HotSpot's ~8 KB JIT threshold even with norms
     hoisted, so the 'codegen' form ran in the JVM bytecode interpreter at
-    ~73 us/pair — 7x slower than this HOF form."""
-    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+    ~73 us/pair — 7x slower than this HOF form.
+
+    Zero-norm guard: an all-zero embedding (padding row, dead doc) would
+    give 0/0 = NaN, and Spark orders NaN ABOVE every number descending and
+    evaluates NaN >= t as TRUE — a zero vector would outrank every real
+    neighbor and pass near-dup thresholds.  The guard yields NULL instead:
+    desc ordering puts NULL last and NULL >= t filters false, so zero
+    vectors are never neighbors of anything (mirrored by NULLIF in the
+    DuckDB oracles)."""
+    prod = _norm_expr(a) * _norm_expr(b)
+    return F.when(prod != F.lit(0.0), _dot_expr(a, b) / prod)
 
 
 def make_cosine_udf():
@@ -71,7 +80,14 @@ def make_cosine_udf():
         dot = np.cumsum(a * b, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
-        return pd.Series(dot / (na * nb))
+        prod = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            res = dot / prod
+        # zero-norm -> SQL NULL, matching cosine_expr's guard (NaN would
+        # sort above every real neighbor and pass >= thresholds)
+        out = pd.Series(res).astype("Float64")
+        out[prod == 0.0] = pd.NA
+        return out
 
     return cosine_udf
 

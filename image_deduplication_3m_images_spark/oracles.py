@@ -209,8 +209,8 @@ def _signlsh_topk_sql(
         scored AS (
           SELECT DISTINCT query_id, neighbor_id,
             list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))
-              / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
-               * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+              / NULLIF(sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))), 0) AS cosine
           FROM c JOIN q USING (tab, bucket) WHERE neighbor_id <> query_id
         ),
         ranked AS (
@@ -247,8 +247,8 @@ def _signlsh_neardup_sql(
         scored AS (
           SELECT a.id AS id_a, b.id AS id_b,
             list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1]::DOUBLE * p[2]::DOUBLE))
-              / (sqrt(list_sum(list_transform(a.vec, x -> x::DOUBLE * x::DOUBLE)))
-               * sqrt(list_sum(list_transform(b.vec, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+              / NULLIF(sqrt(list_sum(list_transform(a.vec, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(b.vec, x -> x::DOUBLE * x::DOUBLE))), 0) AS cosine
           FROM c a JOIN c b USING (tab, bucket) WHERE a.id < b.id
         )
         SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
@@ -263,8 +263,9 @@ def _signlsh_neardup_sql(
 #   phash64 = bytes[4:12] big-endian SIGNED.
 _MEDIA_CTE = """
 media AS (
-  SELECT d.doc_id AS media_id, d.doc_id % 3 AS kind3, s.text AS payload_text
-  FROM documents d JOIN documents s
+  SELECT d.doc_id AS media_id, d.doc_id % 3 AS kind3,
+         coalesce(s.text, d.text) AS payload_text
+  FROM documents d LEFT JOIN documents s
     ON s.doc_id = CASE WHEN d.doc_id % 10 = 9 AND d.doc_id >= 9
                        THEN d.doc_id - 9 ELSE d.doc_id END
 )
@@ -554,8 +555,8 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
             scored AS (
               SELECT query_id, neighbor_id,
                 list_sum(list_transform(list_zip(qv, cv), p -> p[1]::DOUBLE * p[2]::DOUBLE))
-                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
-                   * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+                  / NULLIF(sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))), 0) AS cosine
               FROM c CROSS JOIN q WHERE neighbor_id <> query_id
             ),
             ranked AS (

@@ -68,6 +68,19 @@ class ParquetCatalog:
     def _path(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
 
+    def _heal(self, table: str) -> None:
+        # recover the crash window of write(): if the process died between
+        # "rename final -> _old_" and "rename tmp -> final", the committed
+        # data survives in the _old_ sibling — restore it (newest wins)
+        final = self._path(table)
+        if os.path.isdir(final):
+            return
+        import glob
+
+        olds = sorted(glob.glob(final + "_old_*"), key=os.path.getmtime)
+        if olds:
+            os.rename(olds[-1], final)
+
     def exists(self, table: str) -> bool:
         # a table is visible if the overwrite/append marker exists OR any
         # committed append batch dir does: an append's commit point is the
@@ -75,6 +88,7 @@ class ParquetCatalog:
         # rename and the marker touch must not hide committed data — a later
         # successful append would otherwise retroactively expose the orphan
         # batch as surprise rows (ADVICE r4 item 1)
+        self._heal(table)
         p = self._path(table)
         if not os.path.isdir(p):
             return False
@@ -84,13 +98,34 @@ class ParquetCatalog:
 
     # -- table io ----------------------------------------------------------
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
-        """Atomic overwrite: write to tmp dir, then swap.  Returns snapshot id."""
+        """Atomic overwrite: write to a tmp dir, then a two-RENAME swap (the
+        old table is renamed aside, the tmp renamed in, the old dir deleted
+        last).  A plain rmtree-then-rename would have a crash window where
+        the committed table is deleted and not yet replaced; here every
+        transition is an atomic rename, and a crash between the two renames
+        leaves the old data in an ``_old_`` sibling that ``_heal`` restores
+        on the next access.  Returns snapshot id.  ``mode="append"``
+        delegates to :meth:`append` (this parameter used to be silently
+        ignored — a destructive surprise for append callers)."""
+        if mode == "append":
+            self.append(df, table)
+            return self.snapshot_id(table)
+        if mode != "overwrite":
+            raise ValueError(f"unsupported write mode: {mode!r}")
         final = self._path(table)
         tmp = final + "_tmp_" + uuid.uuid4().hex[:8]
         df.write.mode("overwrite").parquet(tmp)
+        old = final + "_old_" + uuid.uuid4().hex[:8]
         if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+            os.rename(final, old)
+        try:
+            os.rename(tmp, final)
+        except BaseException:
+            if os.path.isdir(old):
+                os.rename(old, final)
+            raise
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         return self.snapshot_id(table)
 
     def append(self, df: DataFrame, table: str) -> None:
@@ -128,6 +163,7 @@ class ParquetCatalog:
 
     def read(self, table: str) -> DataFrame:
         # appended tables hold one committed subdir per batch
+        self._heal(table)
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             self._path(table)
         )
@@ -199,7 +235,13 @@ class ParquetCatalog:
             for f in fs
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        extra_json = json.dumps(extra or {}, sort_keys=True)
+        # record WHICH table contents this lineage row describes: the
+        # resume gate (stage_complete) matches it against the table's
+        # current snapshot, so a historical row from an earlier config
+        # can never vouch for data written under a different one
+        extra = dict(extra or {})
+        extra["output_snapshot"] = self.snapshot_id(table)
+        extra_json = json.dumps(extra, sort_keys=True)
         for idx, f in enumerate(files):
             n = pq.ParquetFile(f).metadata.num_rows
             rows.append((stage, idx, n, input_snapshot, config_hash, extra_json))
@@ -236,14 +278,27 @@ class ParquetCatalog:
         return self.read(LINEAGE_TABLE)
 
     def stage_complete(self, stage: str, config_hash: str) -> bool:
-        """Resume gate: stage output exists AND its lineage rows carry the
-        same config hash (config drift -> refuse to resume, recompute)."""
+        """Resume gate: stage output exists AND the lineage row describing
+        the table's CURRENT contents carries the same config hash.  Hash
+        alone is not enough: lineage is append-only, so after a config
+        flip A->B->A the old A row still exists while the table holds B
+        data — rows written by ``log_lineage_for_table`` therefore carry
+        ``output_snapshot`` in their extra JSON and must match the table's
+        current snapshot; legacy rows without one are accepted on hash
+        alone (pre-existing warehouses)."""
         if not self.exists(stage) or not self.exists(LINEAGE_TABLE):
             return False
+        snap = self.snapshot_id(stage)
         n = (
             self.lineage()
             .where(
                 (F.col("stage") == stage) & (F.col("config_hash") == config_hash)
+            )
+            .where(
+                F.coalesce(
+                    F.get_json_object("extra", "$.output_snapshot"), F.lit(snap)
+                )
+                == snap
             )
             .limit(1)
             .count()
@@ -292,7 +347,13 @@ class IcebergCatalog:
     # -- table io ------------------------------------------------------------
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
         """Atomic overwrite = Iceberg REPLACE TABLE commit; returns the new
-        snapshot id."""
+        snapshot id.  ``mode="append"`` delegates to :meth:`append` (the
+        parameter used to be silently ignored)."""
+        if mode == "append":
+            self.append(df, table)
+            return self.snapshot_id(table)
+        if mode != "overwrite":
+            raise ValueError(f"unsupported write mode: {mode!r}")
         df.writeTo(self._tbl(table)).using("iceberg").createOrReplace()
         return self.snapshot_id(table)
 
@@ -360,12 +421,18 @@ class IcebergCatalog:
         files = self.spark.sql(
             f"SELECT record_count FROM {self._tbl(table)}.files ORDER BY file_path"
         ).collect()
-        extra_json = json.dumps(extra or {}, sort_keys=True)
-        snap = input_snapshot or self.snapshot_id(table)
+        # output snapshot goes in extra (as in ParquetCatalog) — NOT into
+        # input_snapshot, which names the data a stage READ, not wrote;
+        # the backends previously diverged here (empty string vs own
+        # snapshot), mislabeling output as input on this one
+        extra = dict(extra or {})
+        extra["output_snapshot"] = self.snapshot_id(table)
+        extra_json = json.dumps(extra, sort_keys=True)
         rows = [
-            (stage, idx, int(r["record_count"]), snap, config_hash, extra_json)
+            (stage, idx, int(r["record_count"]), input_snapshot, config_hash,
+             extra_json)
             for idx, r in enumerate(files)
-        ] or [(stage, -1, 0, snap, config_hash, extra_json)]
+        ] or [(stage, -1, 0, input_snapshot, config_hash, extra_json)]
         self.append(self.spark.createDataFrame(rows, _LINEAGE_SCHEMA), LINEAGE_TABLE)
 
     def log_event(
@@ -381,12 +448,21 @@ class IcebergCatalog:
         return self.read(LINEAGE_TABLE)
 
     def stage_complete(self, stage: str, config_hash: str) -> bool:
+        # snapshot-qualified like ParquetCatalog.stage_complete: the row
+        # must describe the table's CURRENT snapshot (see that docstring)
         if not self.exists(stage) or not self.exists(LINEAGE_TABLE):
             return False
+        snap = self.snapshot_id(stage)
         n = (
             self.lineage()
             .where(
                 (F.col("stage") == stage) & (F.col("config_hash") == config_hash)
+            )
+            .where(
+                F.coalesce(
+                    F.get_json_object("extra", "$.output_snapshot"), F.lit(snap)
+                )
+                == snap
             )
             .limit(1)
             .count()

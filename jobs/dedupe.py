@@ -51,14 +51,24 @@ def main() -> None:
         # materialize the synthetic corpus as a parquet table first so the
         # timed pipeline does a distributed scan (the north-rule input is a
         # table, not a driver-side list)
+        # (local-fs path check: the --fixture shortcut targets dev/bench
+        # warehouses on local disk; cluster runs feed a real table via
+        # --input instead)
         input_path = os.path.join(args.warehouse, "_input_pages")
-        if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        pages = None
+        if os.path.exists(os.path.join(input_path, "_SUCCESS")):
+            existing = spark.read.parquet(input_path)
+            # reuse gate checks the ROW COUNT too: _SUCCESS alone would
+            # silently reuse a stale corpus of a different --fixture size
+            if existing.count() == args.fixture:
+                pages = existing
+        if pages is None:
             # distributed executor-side generation; fixed partition count so
             # runs at different core counts read byte-identical input layouts
             pages_distributed(spark, args.fixture, seed=42, partitions=128).write.mode(
                 "overwrite"
             ).parquet(input_path)
-        pages = spark.read.parquet(input_path)
+            pages = spark.read.parquet(input_path)
         n = pages.count()
     elif args.input:
         pages = spark.read.parquet(args.input)
@@ -91,12 +101,24 @@ def main() -> None:
     # wrapper) — the scaling harness uses these to attribute scaling loss
     from image_deduplication_3m_images_spark.sources.checkpoint import make_catalog
 
-    lineage = make_catalog(spark, args.warehouse).lineage()
-    stage_walls = {}
+    cat = make_catalog(spark, args.warehouse)
+    lineage = cat.lineage()
+    stage_walls: dict = {}
+    snap_cache: dict = {}
     for r in lineage.select("stage", "extra").distinct().collect():
-        w = json.loads(r["extra"]).get("wall_s")
-        if w is not None:
-            stage_walls[r["stage"]] = max(w, stage_walls.get(r["stage"], 0.0))
+        e = json.loads(r["extra"])
+        w = e.get("wall_s")
+        if w is None:
+            continue
+        # lineage is append-only: filter to the row describing the table's
+        # CURRENT snapshot, else a --no-resume re-run in a reused warehouse
+        # reports the max over ALL historical runs (stale attribution)
+        snap = e.get("output_snapshot")
+        if snap is not None:
+            cur = snap_cache.setdefault(r["stage"], cat.snapshot_id(r["stage"]))
+            if snap != cur:
+                continue
+        stage_walls[r["stage"]] = max(w, stage_walls.get(r["stage"], 0.0))
     summary["stage_walls"] = stage_walls
     print(json.dumps(summary))
     spark.stop()

@@ -150,3 +150,36 @@ def test_parquet_append_is_atomic_under_crash(spark, tmp_path, monkeypatch):
     # the orphaned tmp dir sits OUTSIDE the table dir (never read)
     orphans = [d for d in os.listdir(tmp_path / "wh") if "_tmp_append_" in d]
     assert orphans, "crash should leave only an invisible sibling tmp dir"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_stage_complete_rejects_stale_row_after_config_flipflop(
+    spark, tmp_path, backend
+):
+    """Lineage is append-only, so after config A -> B -> A the old A row
+    still exists while the table holds B data: the resume gate must match
+    the row describing the CURRENT snapshot, not any historical row."""
+    cat = _make_cat(backend, spark, str(tmp_path / "wh"))
+    cat.write(spark.createDataFrame([(1, "a")], ["id", "v"]), "stage_x")
+    cat.log_lineage_for_table("stage_x", "stage_x", config_hash="aaaa")
+    assert cat.stage_complete("stage_x", "aaaa")
+    # config flips to B: stage recomputes, table overwritten, new row logged
+    cat.write(spark.createDataFrame([(2, "b"), (3, "c")], ["id", "v"]), "stage_x")
+    cat.log_lineage_for_table("stage_x", "stage_x", config_hash="bbbb")
+    assert cat.stage_complete("stage_x", "bbbb")
+    # config flips BACK to A: the historical A row must NOT vouch for B data
+    assert not cat.stage_complete("stage_x", "aaaa")
+
+
+def test_write_crash_window_heals_from_old_sibling(spark, tmp_path):
+    """write()'s two-rename swap: a crash between 'final -> _old_' and
+    'tmp -> final' leaves the committed data in the _old_ sibling; the next
+    access must restore it instead of reporting the table vanished."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.write(spark.createDataFrame([(1,), (2,)], ["x"]), "t")
+    p = cat._path("t")
+    os.rename(p, p + "_old_deadbeef")  # simulate death between the renames
+    assert cat.exists("t")  # heal: renamed back
+    assert cat.read("t").count() == 2

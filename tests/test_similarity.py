@@ -116,3 +116,38 @@ def test_arrow_cosine_bit_identical_to_hof(spark):
         cos_udf("va", "vb") != cosine_expr(F.col("va"), F.col("vb"))
     ).count()
     assert mismatch == 0
+
+
+def test_zero_norm_embedding_never_a_neighbor(spark):
+    """An all-zero embedding gives 0/0: unguarded, Spark's NaN sorts ABOVE
+    every value descending and NaN >= t is TRUE, making the zero vector a
+    rank-1 'neighbor' of everything.  The guard yields NULL instead —
+    sorted last, never passing a threshold."""
+    from image_deduplication_3m_images_spark.operators.similarity import (
+        brute_force_topk,
+        make_cosine_udf,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero vector
+        (3, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(emb, emb.where("vec_id = 0"), k=2).collect()
+    neighbors = {r["neighbor_id"]: r for r in out}
+    assert 2 not in neighbors  # real vectors outrank the zero vector
+    assert set(neighbors) == {1, 3}
+    assert all(r["cosine"] is not None for r in out)
+    # the Arrow kernel mirrors the expr: zero-norm pair -> SQL NULL
+    cos = make_cosine_udf()
+    from pyspark.sql import functions as F
+
+    pair = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = pair.select(cos(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0]["c"] is None
+    assert got[1]["c"] == 1.0
