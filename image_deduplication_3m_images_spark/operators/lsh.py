@@ -188,6 +188,11 @@ def candidate_pairs(
     return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
 
+# largest bucket the fast path is allowed to absorb undetected: C(4096, 2)
+# ~ 8.4M pair structs in one task (~130 MB) — bounded; see hot_bucket_probe
+_PROBE_MISS_CAP = 4096
+
+
 def hot_bucket_probe(
     narrow_sig: DataFrame,
     cfg: DedupConfig,
@@ -208,16 +213,26 @@ def hot_bucket_probe(
     Decision rule: hot iff ``sample_max > bucket_star_cap * fraction`` —
     at fraction=1 this is exactly the old ``max_bucket > cap`` test; at
     2M docs (fraction ~0.025) it fires on any bucket with >= 2 sampled
-    members.  Mega buckets (the tiers' reason to exist: thousands of
-    members) land dozens of sampled members — a miss is statistically
-    impossible; a barely-over-cap bucket can slip through, which is
-    harmless (its collect_list is ~cap rows and its pair count bounded).
-    Being wrong in the other direction just runs the general tiers on a
-    clean corpus — correct, slightly slower.  The probe result is logged
-    to lineage, so tier activation is never silent.
+    members.  SENSITIVITY FLOOR: a fixed ~50k sample thins with corpus
+    size, and at (say) 100M rows a 3000-member bucket would land ~1.5
+    sampled members — a ~22% chance of zero, and a miss routes the plan
+    to the fast path whose per-bucket pair expansion is O(B^2).  The
+    sampled fraction therefore never drops below ``10 / _PROBE_MISS_CAP``:
+    any bucket the fast path could not absorb (> _PROBE_MISS_CAP members,
+    ~C(cap,2)=8.4M pairs in one task) lands >= ~10 expected sampled
+    members, P(miss) <= e^-10, AT ANY corpus size — while the probe stays
+    ~400x cheaper than the exact profile.  Buckets between star_cap and
+    _PROBE_MISS_CAP may still slip, which is bounded-harmless (their
+    collect_list and pair counts are capped by construction).  Being
+    wrong in the other direction just runs the general tiers on a clean
+    corpus — correct, slightly slower.  The probe result is logged to
+    lineage, so tier activation is never silent.
     """
+    floor = min(1.0, 10.0 / _PROBE_MISS_CAP)
     fraction = (
-        1.0 if not n_rows or n_rows <= target_sample else target_sample / n_rows
+        1.0
+        if not n_rows or n_rows <= target_sample
+        else max(target_sample / n_rows, floor)
     )
     s = narrow_sig if fraction >= 1.0 else narrow_sig.sample(False, fraction, seed)
     reps = s.groupBy(sha_col).agg(

@@ -773,7 +773,10 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
                             || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
               FROM toks
             ), eval_grams AS (
-              SELECT list(DISTINCT g) AS eg
+              -- coalesce: with an EMPTY eval set, list(DISTINCT g) over zero
+              -- rows is NULL and every intersect would be NULL — the Spark
+              -- side correctly reports 0/false, so mirror that
+              SELECT coalesce(list(DISTINCT g), []) AS eg
               FROM (SELECT unnest(grams) AS g FROM grams WHERE doc_id % 50 = 0)
             )
             SELECT doc_id,
@@ -909,7 +912,7 @@ def oracle_sql_map(cfg: DedupConfig = CFG) -> dict[str, str]:
                    array_to_string(sampled, ',') AS sampled_csv
             FROM (
               SELECT media_id, n_frames,
-                     list_transform(range(0, n_frames, 10), x -> x)[1:32] AS sampled
+                     range(0, n_frames, 10)[1:32] AS sampled
               FROM (
                 SELECT media_id,
                        greatest(1, octet_length(encode(payload_text)) // 1024)::INT AS n_frames

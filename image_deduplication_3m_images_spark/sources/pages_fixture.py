@@ -83,13 +83,19 @@ def generate_pages(
     """Planted structure (scaled to n_rows, FIXTURES.md §2):
 
     - exact duplicates:       5 clusters x 4 members (identical body)
-    - near-dup light edit:    clusters of sizes 8/6/5/4/3 (1-3% token edits)
+    - near-dup light edit:    clusters of sizes 8/6/5/4/3 (1-2% token edits)
     - boilerplate wrap:       3 clusters x 3 (same core, different wrap)
     - containment pairs:      5 clusters x 2 (B = A + 50% appended)
     - hard negatives:         10 x 2 docs sharing ~30% tokens (must NOT merge)
     - skew bomb:              one near-identical tiny-page cluster
                               (default size: max(50, n_rows//10)) — hot band key
     - unique filler:          remainder
+
+    ``n_rows`` is a TARGET, not an exact row count: the planted structure
+    (85 structured rows + the skew cluster) is always emitted in full, so
+    tiny requests return more rows than asked (e.g. n_rows=100 -> 135).
+    Callers must size on ``len(fixture.rows)``, never slice to ``n_rows``
+    — a slice would drop truth-bearing rows.
     """
     rng = np.random.RandomState(seed)
     vocab = _make_vocab(rng)
@@ -237,6 +243,18 @@ def pages_distributed(spark, n_rows: int, seed: int = 42, partitions: int = 32):
     lo_near = int(n_rows * 0.05)
     lo_uniq = int(n_rows * 0.15)
 
+    # group-seed namespaces must be DISJOINT from the filler seeds (plain
+    # i < n_rows): past ~10M rows a filler doc i = 10_000_019 + g would
+    # share exact-group g's PRNG stream — an UNPLANTED shared-prefix
+    # near-dup corrupting the truth structure.  The historical constants
+    # are kept for n_rows <= 10M (every banked scaling fixture regenerates
+    # byte-identically); larger fixtures shift to 2^44-spaced bases no
+    # filler id can reach (i < n_rows <= ~10^12 << 2^44).
+    if n_rows <= 10_000_000:
+        s_exact, s_near, s_repl = 10_000_019, 20_000_003, 30_000_017
+    else:
+        s_exact, s_near, s_repl = 1 << 44, 2 << 44, 3 << 44
+
     def gen(batches):
         for pdf in batches:
             out = []
@@ -249,15 +267,15 @@ def pages_distributed(spark, n_rows: int, seed: int = 42, partitions: int = 32):
                     title = "404 not found"
                 elif i < lo_near:  # exact-dup groups of 4
                     g = (i - lo_exact) // 4
-                    toks = body_tokens(10_000_019 + g, 120)
+                    toks = body_tokens(s_exact + g, 120)
                     title = f"exact {g}"
                 elif i < lo_uniq:  # near-dup groups of 5
                     g = (i - lo_near) // 5
                     m = (i - lo_near) % 5
-                    toks = body_tokens(20_000_003 + g, 400)
+                    toks = body_tokens(s_near + g, 400)
                     if m > 0:
                         pos = (np.arange(6, dtype=np.uint64) * M2 + np.uint64(i)) % np.uint64(400)
-                        repl = body_tokens(30_000_017 + i, 6)
+                        repl = body_tokens(s_repl + i, 6)
                         for p, r in zip(pos.astype(int), repl):
                             toks[p] = r
                     title = f"near {g}"

@@ -107,3 +107,22 @@ def test_memo_cap_clear_bounds_memory_and_preserves_bytes(monkeypatch):
     monkeypatch.setattr(S, "_TOKEN_HASH_MEMO_CAP", 1_500_000)
     fresh = S._batch_signatures(texts, CFG)
     _assert_sig_equal(capped, fresh)
+
+
+def test_token_hash_spellings_are_value_identical():
+    """The 64-bit token-hash primitive exists in three spellings that MUST
+    stay value-identical: signature_core.token_hash (hexdigest[:16] base
+    16, the documented oracle-shared form), the vectorized kernel's inline
+    digest[:8] big-endian (both memo branches), and the DuckDB oracle's
+    ('0x'||substr(md5(t),1,16))::UBIGINT.  This pin makes a one-sided edit
+    fail loudly instead of silently breaking signature parity."""
+    import hashlib
+
+    from image_deduplication_3m_images_spark.functions.signature_core import (
+        token_hash,
+    )
+
+    for t in ["", "a", "hello", "ünïcödé", "tok123", "x" * 100]:
+        assert token_hash(t) == int.from_bytes(
+            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+        )
