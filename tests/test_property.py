@@ -107,3 +107,34 @@ def test_word_ngrams_match_python(spark, texts, n):
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         ))
         assert r["g"] == expect, (r["t"], n)
+
+
+def test_pages_distributed_bytes_are_pinned(spark):
+    """The scaling fixture's claim 'fixtures <= 10M rows regenerate
+    byte-identically' (sources/pages_fixture.py seed-namespace note) is
+    load-bearing: banked BENCH evidence references inputs by construction,
+    not by stored bytes.  Pin a content digest of the 2000-row fixture so
+    any seed/vocab/render change fails loudly here instead of silently
+    detaching the banked numbers from reproducible inputs."""
+    from pyspark.sql import functions as F
+
+    from image_deduplication_3m_images_spark.sources.pages_fixture import (
+        pages_distributed,
+    )
+
+    df = pages_distributed(spark, 2000, seed=42, partitions=8)
+    row = (
+        df.select(
+            F.sha2(F.concat_ws("\x1f", "url", "text", "lang"), 256).alias("h")
+        )
+        .agg(
+            F.sha2(
+                F.concat_ws("", F.sort_array(F.collect_list("h"))), 256
+            ).alias("digest")
+        )
+        .collect()[0]
+    )
+    assert (
+        row["digest"]
+        == "1956a9d634038c32347811bb6fbd76bf670e3c22fa5f3c1b810eb1997cbf8ed9"
+    )
