@@ -121,6 +121,7 @@ def run_job(
         return None
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
+    res["repeat"] = repeat  # calibrated_efficiencies matches legs by repeat
     log_run(
         {
             "size": n_rows,
@@ -154,9 +155,16 @@ def calibrated_efficiencies(
     calibration constant cancels the box-speed drift BETWEEN the two legs'
     windows (this VM drifts up to ~2.5x; raw best-of-N remains the primary
     number, this is the drift-corrected read the calibration constant was
-    introduced for)."""
+    introduced for).  Legs are matched by their RECORDED repeat index, not
+    list position: after a failed run (logged, not appended) a positional
+    zip would pair legs from windows hours apart — exactly the drift this
+    normalization exists to cancel — and silently drop the tail repeat."""
+    hi_by_rep = {h.get("repeat"): h for h in hi_runs}
     out = []
-    for lo, hi in zip(lo_runs, hi_runs):
+    for lo in lo_runs:
+        hi = hi_by_rep.get(lo.get("repeat"))
+        if hi is None:
+            continue
         cl, ch = lo.get("calibration"), hi.get("calibration")
         if not cl or not ch:
             continue

@@ -133,8 +133,11 @@ def main() -> None:
                 "pages_rows": pages_n,
                 "calibration": calibration,
                 # catalog size grows round-over-round as operators are
-                # added; compare totals across rounds per-query (or divide
-                # by n_queries), not by the raw sum
+                # added; compare totals across rounds per-query, not by the
+                # raw sum.  NOTE: `value` also folds in pages_pipeline_e2e
+                # (kept for cross-round consistency — every prior round's
+                # total included it), so value/n_queries is NOT a pure
+                # per-headline-query average; use the per-query timings.
                 "n_queries": len(headline),
             }
         )

@@ -57,10 +57,9 @@ def main() -> None:
         ckpt,
         trigger_available_now=not args.follow,
     )
-    if args.follow:
-        q.awaitTermination()
-        return
     q.awaitTermination()
+    if args.follow:
+        return
     cat = make_catalog(spark, args.warehouse)
     if cat.exists("clusters") or cat.exists("clusters_delta"):
         from pyspark.sql import functions as F

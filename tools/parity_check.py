@@ -160,6 +160,12 @@ def main():
 
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - set(qmap)
+        if unknown:
+            # a typo'd filter must not skip everything and print a false
+            # green "all parity checks passed"
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
     for name, fn in qmap.items():
         if only and name not in only:
