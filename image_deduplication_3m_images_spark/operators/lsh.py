@@ -217,10 +217,12 @@ def hot_bucket_probe(
     size, and at (say) 100M rows a 3000-member bucket would land ~1.5
     sampled members — a ~22% chance of zero, and a miss routes the plan
     to the fast path whose per-bucket pair expansion is O(B^2).  The
-    sampled fraction therefore never drops below ``10 / _PROBE_MISS_CAP``:
-    any bucket the fast path could not absorb (> _PROBE_MISS_CAP members,
+    sampled fraction therefore has a floor (see the miss-cap math below —
+    the cap scales with a user-raised ``bucket_star_cap``): any bucket the
+    fast path could not absorb (> ~_PROBE_MISS_CAP members,
     ~C(cap,2)=8.4M pairs in one task) lands >= ~10 expected sampled
-    members, P(miss) <= e^-10, AT ANY corpus size — while the probe stays
+    members ABOVE the decision threshold, P(miss) <= e^-10, AT ANY corpus
+    size — while the probe stays
     ~400x cheaper than the exact profile.  Buckets between star_cap and
     _PROBE_MISS_CAP may still slip, which is bounded-harmless (their
     collect_list and pair counts are capped by construction).  Being
@@ -228,7 +230,13 @@ def hot_bucket_probe(
     corpus — correct, slightly slower.  The probe result is logged to
     lineage, so tier activation is never silent.
     """
-    floor = min(1.0, 10.0 / _PROBE_MISS_CAP)
+    # The miss condition is sample_max <= star_cap * fraction (not zero
+    # sampled members), so the floor must keep a miss-cap-sized bucket's
+    # EXPECTED sample ~10 above that threshold — scale the miss cap with a
+    # user-raised star cap, else a star_cap near _PROBE_MISS_CAP would put
+    # the threshold at the expected count itself (a coin-flip miss).
+    miss_cap = max(_PROBE_MISS_CAP, 2 * cfg.bucket_star_cap)
+    floor = min(1.0, 10.0 / max(1, miss_cap - cfg.bucket_star_cap))
     fraction = (
         1.0
         if not n_rows or n_rows <= target_sample

@@ -126,6 +126,15 @@ class ParquetCatalog:
             raise
         if os.path.isdir(old):
             shutil.rmtree(old)
+        # GC siblings leaked by CRASHED earlier writes (a crash after the
+        # commit rename but before the rmtree above leaves an _old_ dir;
+        # a crash mid-write leaves a _tmp_ dir).  Once this commit stands,
+        # any survivor is stale — and a stale _old_ left in place would be
+        # RESURRECTED by _heal if the table is later drop()ped.
+        import glob
+
+        for stale in glob.glob(final + "_old_*") + glob.glob(final + "_tmp_*"):
+            shutil.rmtree(stale, ignore_errors=True)
         return self.snapshot_id(table)
 
     def append(self, df: DataFrame, table: str) -> None:
@@ -169,9 +178,15 @@ class ParquetCatalog:
         )
 
     def drop(self, table: str) -> None:
+        # remove crash-leftover siblings too: a surviving _old_ dir would
+        # be renamed back by _heal on the next exists()/read(), silently
+        # resurrecting the dropped table
+        import glob
+
         p = self._path(table)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        for d in [p] + glob.glob(p + "_old_*") + glob.glob(p + "_tmp_*"):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
     def snapshot_id(self, table: str) -> str:
         """Content fingerprint of the committed table dir (file names+sizes) —

@@ -51,6 +51,21 @@ def stream_signatures(
     stream = spark.readStream.schema(pages_schema).parquet(input_dir)
 
     def _sign_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
+        import os
+
+        # migration guard: an output dir written by the OLD flat-append sink
+        # holds root-level part files; Spark cannot mix flat and partitioned
+        # layouts under one root ("Conflicting directory structures").  Fail
+        # with instructions instead of letting the reader throw that.
+        if glob.glob(os.path.join(output_dir, "*.parquet")):
+            raise RuntimeError(
+                f"{output_dir} contains flat (pre-idempotent-sink) signature "
+                "files; the sink now writes batch_id=N partitions and the two "
+                "layouts cannot share a directory — move the old files into a "
+                "batch_id=<old> subdir or point the stream at a fresh output "
+                "dir"
+            )
         (
             build_signatures(batch_df, cfg)
             .withColumn("batch_id", F.lit(batch_id))

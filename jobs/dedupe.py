@@ -115,8 +115,12 @@ def main() -> None:
         # reports the max over ALL historical runs (stale attribution)
         snap = e.get("output_snapshot")
         if snap is not None:
-            cur = snap_cache.setdefault(r["stage"], cat.snapshot_id(r["stage"]))
-            if snap != cur:
+            # NOT setdefault(stage, cat.snapshot_id(...)): Python evaluates
+            # the default eagerly, which would fingerprint the table dir
+            # once per lineage row instead of once per stage
+            if r["stage"] not in snap_cache:
+                snap_cache[r["stage"]] = cat.snapshot_id(r["stage"])
+            if snap != snap_cache[r["stage"]]:
                 continue
         stage_walls[r["stage"]] = max(w, stage_walls.get(r["stage"], 0.0))
     summary["stage_walls"] = stage_walls

@@ -25,18 +25,18 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-len", type=int, default=40,
                     help="minimum duplicated span length (characters); "
-                    "must be >= window + 2 of the winnowing kernel (>= 10)")
+                    "must be >= window + 1 of the winnowing kernel")
     ap.add_argument("--window", type=int, default=8,
                     help="winnowing window (gram_len = min_len - window + 1)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
-    if args.min_len < args.window + 2:
+    if args.min_len < args.window + 1:
         ap.error(
             f"--min-len {args.min_len} too small: the winnowing kernel needs "
             f"gram_len = min_len - window + 1 >= 2, i.e. --min-len >= "
-            f"{args.window + 2} at --window {args.window} (or lower --window)"
+            f"{args.window + 1} at --window {args.window} (or lower --window)"
         )
 
     from pyspark.sql import functions as F

@@ -183,3 +183,25 @@ def test_write_crash_window_heals_from_old_sibling(spark, tmp_path):
     os.rename(p, p + "_old_deadbeef")  # simulate death between the renames
     assert cat.exists("t")  # heal: renamed back
     assert cat.read("t").count() == 2
+
+
+def test_drop_removes_crash_leftovers_no_resurrection(spark, tmp_path):
+    """A crash after the commit rename leaves an _old_ sibling; drop() must
+    remove it too, else the next exists()/read() heals the dropped table
+    back into existence with pre-crash contents."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.write(spark.createDataFrame([(1,)], ["x"]), "t")
+    p = cat._path("t")
+    # simulate the crash leftover: commit stood, old dir never cleaned
+    os.makedirs(p + "_old_deadbeef")
+    cat.drop("t")
+    assert not cat.exists("t")  # no resurrection from the stale sibling
+    # and a successful write sweeps crash leftovers of earlier writes
+    os.makedirs(p + "_old_cafe")
+    os.makedirs(p + "_tmp_cafe")
+    cat.write(spark.createDataFrame([(2,)], ["x"]), "t")
+    assert not os.path.isdir(p + "_old_cafe")
+    assert not os.path.isdir(p + "_tmp_cafe")
+    assert cat.read("t").count() == 1
