@@ -159,9 +159,16 @@ def calibrated_efficiencies(
     list position: after a failed run (logged, not appended) a positional
     zip would pair legs from windows hours apart — exactly the drift this
     normalization exists to cancel — and silently drop the tail repeat."""
-    hi_by_rep = {h.get("repeat"): h for h in hi_runs}
+    # legacy log entries without a recorded repeat index all collapse onto
+    # key None, which would pair every legacy lo leg with the single last
+    # legacy hi leg (ADVICE r5) — skip them instead of mis-pairing
+    hi_by_rep = {
+        h.get("repeat"): h for h in hi_runs if h.get("repeat") is not None
+    }
     out = []
     for lo in lo_runs:
+        if lo.get("repeat") is None:
+            continue
         hi = hi_by_rep.get(lo.get("repeat"))
         if hi is None:
             continue

@@ -41,9 +41,38 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def hamming_bucket_stats(
+    df: DataFrame, hash_col: str, radius: int = 3
+) -> DataFrame:
+    """Chunk-bucket profile for the pigeonhole blocking below: one row with
+    the max bucket size.  Callers pass it to ``hamming_block_pairs`` as
+    ``max_bucket_hint`` so clean corpora skip the tier machinery entirely
+    (the same stats-driven plan choice as ``operators/lsh.py``; the profile
+    doubles as the lineage/metrics record, so skew handling is never
+    silent)."""
+    n_chunks = radius + 1
+    width = 64 // n_chunks
+    df = df.where(F.col(hash_col).isNotNull())
+
+    def chunk_expr(i: int):
+        bits = 64 - width * i if i == n_chunks - 1 else width
+        shifted = F.shiftright(F.col(hash_col), width * i)
+        if bits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
+    chunks = F.array(*[chunk_expr(i) for i in range(n_chunks)])
+    return (
+        df.select(F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .groupBy("chunk_id", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_bucket"))
+    )
+
+
 def hamming_block_pairs(
     df: DataFrame, hash_col: str, id_col: str, radius: int = 3,
-    bucket_cap: int = 256,
+    bucket_cap: int = 256, max_bucket_hint: int | None = None,
 ) -> DataFrame:
     """Candidate pairs within Hamming ``radius`` of a 64-bit hash column, by
     pigeonhole chunk blocking: hamming <= h implies at least one of h+1
@@ -63,6 +92,12 @@ def hamming_block_pairs(
     the hot tier trades the second shuffle for bounded executor memory
     rather than dropping pairs.  The tier split is driven by a
     map-side-combined (key, count) aggregate — tiny bytes.
+
+    ``max_bucket_hint``: caller-supplied profile statistic (see
+    ``hamming_bucket_stats``).  When it proves no bucket exceeds
+    ``bucket_cap``, the stats shuffle + tier join + branch union are
+    skipped entirely — one groupBy, one pair expansion (the same
+    statistics-driven plan selection ``candidate_pairs`` uses).
     """
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
@@ -91,41 +126,53 @@ def hamming_block_pairs(
         F.posexplode(chunks).alias("chunk_id", "chunk"),
     )
 
-    stats = blocks.groupBy("chunk_id", "chunk").agg(
-        F.count(F.lit(1)).alias("bucket_size")
-    ).where(F.col("bucket_size") > bucket_cap)
-    tiered = blocks.join(stats, ["chunk_id", "chunk"], "left")
-
     # small buckets: collect_list bounded by bucket_cap, pairs expanded by a
     # codegen'd (i < j) array expression — sort_array on (id, h) structs
     # orders by id, so id_a < id_b holds by construction
     members = F.sort_array(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("h")))
     ).alias("members")
-    grouped = (
+    ms = F.col("members")
+
+    def _expand(grouped: DataFrame) -> DataFrame:
+        return grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ms,
+                        lambda x, i: F.transform(
+                            F.slice(ms, i + 2, F.size(ms)),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                x["h"].alias("h_a"),
+                                y["id"].alias("id_b"),
+                                y["h"].alias("h_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.h_a", "p.id_b", "p.h_b")
+
+    if max_bucket_hint is not None and max_bucket_hint <= bucket_cap:
+        # profile-proven clean corpus: one shuffle, no tier machinery
+        pairs = _expand(blocks.groupBy("chunk_id", "chunk").agg(members))
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        ).where(F.col("hamming") <= radius).dropDuplicates(["id_a", "id_b"])
+
+    stats = blocks.groupBy("chunk_id", "chunk").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    ).where(F.col("bucket_size") > bucket_cap)
+    tiered = blocks.join(stats, ["chunk_id", "chunk"], "left")
+
+    small_pairs = _expand(
         tiered.where(F.col("bucket_size").isNull())
         .groupBy("chunk_id", "chunk")
         .agg(members)
     )
-    ms = F.col("members")
-    small_pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ms,
-                    lambda x, i: F.transform(
-                        F.slice(ms, i + 2, F.size(ms)),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            x["h"].alias("h_a"),
-                            y["id"].alias("id_b"),
-                            y["h"].alias("h_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.h_a", "p.id_b", "p.h_b")
 
     hot = tiered.where(F.col("bucket_size").isNotNull())
     a = hot.select(
@@ -153,14 +200,19 @@ def hamming_block_pairs(
 
 
 def simhash_block_pairs(
-    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
+    max_bucket_hint: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: Hamming <= ``cfg.hamming_max`` via
     (hamming_max+1)-chunk pigeonhole blocking (see hamming_block_pairs).
     The radius comes from the config — hard-coding 3 here made the
     ``hamming_max`` knob a silent no-op for this operator while verify.py
-    honored it."""
-    return hamming_block_pairs(sig_df, "simhash", id_col, radius=cfg.hamming_max)
+    honored it.  ``max_bucket_hint`` forwards the profile statistic that
+    lets clean corpora skip the skew tiers (see hamming_bucket_stats)."""
+    return hamming_block_pairs(
+        sig_df, "simhash", id_col, radius=cfg.hamming_max,
+        max_bucket_hint=max_bucket_hint,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -254,7 +254,13 @@ def hot_bucket_probe(
         .collect()[0]
     )
     sample_max = int(row["m"] or 0)
-    hot = sample_max > cfg.bucket_star_cap * fraction
+    # integer evidence floor (ADVICE r5): past ~3.2M rows the threshold
+    # cap*fraction drops below 1, so ANY sampled 2-member bucket flagged
+    # hot and the probe degenerated to always-hot at scale.  Requiring
+    # >= 2 sampled co-bucketed members keeps a lone singleton from
+    # triggering the tiers while leaving the miss-cap math above intact
+    # (a miss-cap bucket lands ~10 expected members, far above 2).
+    hot = sample_max > cfg.bucket_star_cap * fraction and sample_max >= 2
     return {
         "probe_fraction": round(fraction, 6),
         "sample_max_bucket": sample_max,

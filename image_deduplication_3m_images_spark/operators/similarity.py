@@ -192,6 +192,7 @@ def signlsh_neardup_pairs(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 7,
+    cache_buckets: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine >= threshold)
     via multi-table sign-LSH self-join — the dedup-shaped sibling of
@@ -231,6 +232,15 @@ def signlsh_neardup_pairs(
         F.col(id_col).alias("id"),
         F.posexplode(budf(vec_col)).alias("tab", "bucket"),
     )
+    if cache_buckets:
+        # a self-join evaluates its input subtree once PER SIDE, so without
+        # this the bucket kernel runs twice over the corpus.  Opt-in: the
+        # cached frame is 3 narrow columns x n_tables rows per vector, but
+        # a long-lived driver calling this per micro-batch would accumulate
+        # one cached frame per call — callers that reuse the RESULT (e.g.
+        # the session-memoized catalog entry) pass True; a 100 TB run
+        # checkpoints this projection instead (see docstring).
+        c = c.cache()
     a = c.select(F.col("id").alias("id_a"), "tab", "bucket")
     b = c.select(F.col("id").alias("id_b"), "tab", "bucket")
     pairs = (

@@ -132,6 +132,42 @@ def _docs(spark, sf_dir) -> DataFrame:
     return load(spark, sf_dir, "documents").select("doc_id", "text")
 
 
+def _table_rows(spark, sf_dir: str, table: str) -> int:
+    """Committed row count from parquet FOOTERS, driver-side — no Spark
+    job (same trick as the checkpoint catalog's ``row_count``).  Used as
+    the size hint for statistics-driven plan choices (bloom sizing,
+    contamination form picking); memoized per (session, table)."""
+
+    def _count() -> int:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/{table}.parquet"
+        files = (
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    return _memo(spark, ("rows", sf_dir, table), _count)
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    """Embeddings frame, memoized + cached per (session, sf_dir): four
+    catalog queries (both top-k forms, near-dup pairs, semantic clusters)
+    scan it — several of them more than once per plan (self-join sides,
+    vector join-backs) — and each scan would otherwise re-read + re-spread
+    the parquet.  ~0.5 MB cached at sf0.1; same lifetime as ``_sig``."""
+    return _memo(
+        spark,
+        ("emb", sf_dir),
+        lambda: load(spark, sf_dir, "embeddings").cache(),
+    )
+
+
 def _sig(spark, sf_dir) -> DataFrame:
     """Signatures frame, memoized + cached per (session, sf_dir): several
     catalog queries consume it through MULTI-BRANCH plans (tier splits,
@@ -559,7 +595,11 @@ def q_contamination(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.where(F.col("doc_id") % 50 == 0)
     corpus = docs.where(F.col("doc_id") % 50 != 0)
-    return contamination_flags(corpus, eval_df, n=5)
+    # driver-side form-picking estimate replaces the count job: ~64
+    # distinct grams per ~300-char eval doc (generous); both forms are
+    # exact, so an estimate can only affect speed (see contamination_flags)
+    n_est = (_table_rows(spark, sf_dir, "documents") // 50) * 64
+    return contamination_flags(corpus, eval_df, n=5, n_eval_grams=n_est)
 
 
 def q_length_quantiles(spark, sf_dir):
@@ -583,9 +623,24 @@ def q_length_quantiles(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return simhash_block_pairs(_sig(spark, sf_dir), CFG, id_col="doc_id").select(
-        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    """Stats-driven fast path like ``_cands``: one profile job (memoized —
+    the pipeline logs the same statistic to lineage) proves the chunk
+    buckets are skew-free, and the operator then plans ONE shuffle instead
+    of the stats-join + three-branch tier union."""
+    from image_deduplication_3m_images_spark.operators.dedup import (
+        hamming_bucket_stats,
     )
+
+    sig = _sig(spark, sf_dir)
+    hint = _memo(
+        spark,
+        ("simhash_hint", sf_dir),
+        lambda: hamming_bucket_stats(sig, "simhash", radius=CFG.hamming_max)
+        .collect()[0]["max_bucket"],
+    )
+    return simhash_block_pairs(
+        sig, CFG, id_col="doc_id", max_bucket_hint=hint
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -607,7 +662,7 @@ def q_ngram_jaccard(spark, sf_dir):
 # --- similarity search ---------------------------------------------------------
 
 def q_embedding_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
     )
@@ -620,7 +675,7 @@ def q_embedding_topk_lsh(spark, sf_dir):
     oracle-checked: the bucket id is a dot product against LITERAL
     hyperplanes, so the DuckDB oracle evaluates the identical expression
     (oracles.py emits the same float literals)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return signlsh_topk(
         emb,
         emb.where(F.col("vec_id") < 10),
@@ -643,7 +698,11 @@ def _neardup(spark, sf_dir) -> DataFrame:
         spark,
         ("neardup", sf_dir),
         lambda: signlsh_neardup_pairs(
-            load(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4, n_tables=8
+            _emb(spark, sf_dir),
+            threshold=0.4,
+            n_planes=4,
+            n_tables=8,
+            cache_buckets=True,
         ).cache(),
     )
 
@@ -732,7 +791,7 @@ def q_semantic_clusters(spark, sf_dir):
     min vec_id, singletons kept (SemDeDup-style grouping; one operator,
     two modalities).  The oracle re-derives the pairs from literal
     hyperplanes and closes them with a recursive CTE."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     pairs = _neardup(spark, sf_dir)
     assignments = connected_components(pairs.select("id_a", "id_b"))
     return attach_singletons(
@@ -869,12 +928,23 @@ def q_media_dedup(spark, sf_dir):
         media_dedup_candidates,
     )
 
+    from image_deduplication_3m_images_spark.operators.dedup import (
+        hamming_bucket_stats,
+    )
+
     feats = _memo(
         spark,
         ("media_feats", sf_dir),
         lambda: image_features(_media(spark, sf_dir)).cache(),
     )
-    return media_dedup_candidates(feats, radius=3).select(
+    # stats-driven fast path, same shape as q_simhash_pairs
+    hint = _memo(
+        spark,
+        ("media_hint", sf_dir),
+        lambda: hamming_bucket_stats(feats, "phash64", radius=3)
+        .collect()[0]["max_bucket"],
+    )
+    return media_dedup_candidates(feats, radius=3, max_bucket_hint=hint).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -977,7 +1047,13 @@ def q_incremental_new_docs(spark, sf_dir):
     )
     seen = docs.where(F.col("doc_id") % 7 != 0).select("text_sha256")
     new = docs.where(F.col("doc_id") % 3 == 0)
-    return incremental_new(new, seen, "text_sha256").select("doc_id", "text_sha256")
+    # footer row count as the bloom-sizing hint (an upper bound of the
+    # seen side) — skips build_bloom's sizing count scan (the operator's
+    # documented 100 TB contract: callers supply n_seen)
+    n_seen = _table_rows(spark, sf_dir, "documents")
+    return incremental_new(new, seen, "text_sha256", n_seen=n_seen).select(
+        "doc_id", "text_sha256"
+    )
 
 
 def _synth_urls(docs):

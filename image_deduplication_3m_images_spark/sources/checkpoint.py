@@ -130,10 +130,18 @@ class ParquetCatalog:
         # commit rename but before the rmtree above leaves an _old_ dir;
         # a crash mid-write leaves a _tmp_ dir).  Once this commit stands,
         # any survivor is stale — and a stale _old_ left in place would be
-        # RESURRECTED by _heal if the table is later drop()ped.
+        # RESURRECTED by _heal if the table is later drop()ped.  Append
+        # tmp dirs (``_tmp_append_*``) are excluded: a CONCURRENT append's
+        # in-flight batch is not this overwrite's garbage to collect
+        # (ADVICE r5 — the old glob would delete it mid-write).
         import glob
 
-        for stale in glob.glob(final + "_old_*") + glob.glob(final + "_tmp_*"):
+        stales = glob.glob(final + "_old_*") + [
+            d
+            for d in glob.glob(final + "_tmp_*")
+            if not d.startswith(final + "_tmp_append_")
+        ]
+        for stale in stales:
             shutil.rmtree(stale, ignore_errors=True)
         return self.snapshot_id(table)
 
@@ -204,6 +212,41 @@ class ParquetCatalog:
         return hashlib.sha256(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
 
     # -- lineage -----------------------------------------------------------
+    def _append_rows_local(self, rows: list[tuple], table: str) -> None:
+        """Append small driver-side row lists (lineage/events) WITHOUT a
+        Spark job: one pyarrow parquet file committed through the same
+        batch-dir rename as :meth:`append`.  Round-6 optimization — every
+        pipeline stage used to pay a createDataFrame + distributed-write
+        job to record a handful of lineage rows; this backend is local-fs
+        by construction (the Iceberg backend handles real clusters), so a
+        driver write is both legal and ~one job cheaper per stage.  The
+        arrow schema matches Spark's (`int` -> int32, `long` -> int64) so
+        mixed readers see one consistent table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("stage", pa.string()),
+                ("partition_id", pa.int32()),
+                ("rows", pa.int64()),
+                ("input_snapshot", pa.string()),
+                ("config_hash", pa.string()),
+                ("extra", pa.string()),
+            ]
+        )
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        final = self._path(table)
+        tmp = final + "_tmp_append_" + uuid.uuid4().hex[:8]
+        os.makedirs(tmp)
+        pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+        os.makedirs(final, exist_ok=True)
+        os.rename(tmp, os.path.join(final, "batch_" + uuid.uuid4().hex[:8]))
+        open(os.path.join(final, "_SUCCESS"), "a").close()
+
     def log_lineage(
         self,
         df: DataFrame,
@@ -262,32 +305,18 @@ class ParquetCatalog:
             rows.append((stage, idx, n, input_snapshot, config_hash, extra_json))
         if not rows:
             rows = [(stage, -1, 0, input_snapshot, config_hash, extra_json)]
-        df = self.spark.createDataFrame(
-            rows,
-            "stage string, partition_id int, rows long, input_snapshot string,"
-            " config_hash string, extra string",
-        )
-        self.append(df, LINEAGE_TABLE)
+        # rows were assembled driver-side from footers — commit them the
+        # same way, without a Spark job (see _append_rows_local)
+        self._append_rows_local(rows, LINEAGE_TABLE)
 
     def log_event(
         self, stage: str, config_hash: str, extra: dict | None = None
     ) -> None:
         """Single lineage row for audits/counters not tied to a table write."""
-        row = self.spark.createDataFrame(
-            [
-                (
-                    stage,
-                    -1,
-                    0,
-                    "",
-                    config_hash,
-                    json.dumps(extra or {}, sort_keys=True),
-                )
-            ],
-            "stage string, partition_id int, rows long, input_snapshot string,"
-            " config_hash string, extra string",
+        self._append_rows_local(
+            [(stage, -1, 0, "", config_hash, json.dumps(extra or {}, sort_keys=True))],
+            LINEAGE_TABLE,
         )
-        self.append(row, LINEAGE_TABLE)
 
     def lineage(self) -> DataFrame:
         return self.read(LINEAGE_TABLE)

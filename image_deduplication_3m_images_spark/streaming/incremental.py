@@ -338,7 +338,26 @@ def _update_url_bloom(
         return
 
     if state["m_bits"] == 0:
-        return  # disabled sentinel: decided + logged at first creation
+        # disabled sentinel — but ``max_bytes`` may have been RAISED since
+        # the decision (ADVICE r5: the sentinel was permanent, leaving the
+        # routing off forever).  Re-size against the current corpus; when
+        # the filter now fits, rebuild and re-enable, else stay disabled
+        # (the original decision is already logged — no re-log per batch,
+        # and the sizing math here is driver-side arithmetic, not a job).
+        n_committed = cat.row_count("signatures") if has_old else 0
+        n_total = n_committed + n_new
+        capacity = max(expected, 2 * n_total)
+        m_bits, k = bloom_params(capacity, fpp)
+        if m_bits // 8 > max_bytes:
+            return
+        bitmap, m_bits, k = build_bloom(_corpus_ids(), ID, params=(m_bits, k))
+        _store_url_bloom(spark, cat, bitmap, m_bits, k, n_total, capacity)
+        cat.log_event(
+            "url_bloom_reenabled",
+            cfg.config_hash(),
+            extra={"m_bits": m_bits, "max_bytes": max_bytes},
+        )
+        return
 
     # replay-stable contribution (docstring): count this batch's bloom-MISSES
     h1, h2 = _hash_exprs(ID)

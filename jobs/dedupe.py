@@ -55,19 +55,27 @@ def main() -> None:
         # warehouses on local disk; cluster runs feed a real table via
         # --input instead)
         input_path = os.path.join(args.warehouse, "_input_pages")
+        # generator fingerprint beside the table (ADVICE r5): row count
+        # alone would silently reuse a same-size corpus generated with a
+        # different seed/partitioning (or by an older generator version)
+        gen_meta = {"n_rows": args.fixture, "seed": 42, "partitions": 128}
+        meta_path = os.path.join(args.warehouse, "_input_pages_meta.json")
         pages = None
-        if os.path.exists(os.path.join(input_path, "_SUCCESS")):
-            existing = spark.read.parquet(input_path)
-            # reuse gate checks the ROW COUNT too: _SUCCESS alone would
-            # silently reuse a stale corpus of a different --fixture size
-            if existing.count() == args.fixture:
-                pages = existing
+        if os.path.exists(os.path.join(input_path, "_SUCCESS")) and os.path.exists(
+            meta_path
+        ):
+            with open(meta_path) as f:
+                if json.load(f) == gen_meta:
+                    pages = spark.read.parquet(input_path)
         if pages is None:
             # distributed executor-side generation; fixed partition count so
             # runs at different core counts read byte-identical input layouts
-            pages_distributed(spark, args.fixture, seed=42, partitions=128).write.mode(
-                "overwrite"
-            ).parquet(input_path)
+            pages_distributed(
+                spark, args.fixture, seed=gen_meta["seed"],
+                partitions=gen_meta["partitions"],
+            ).write.mode("overwrite").parquet(input_path)
+            with open(meta_path, "w") as f:
+                json.dump(gen_meta, f, sort_keys=True)
             pages = spark.read.parquet(input_path)
         n = pages.count()
     elif args.input:

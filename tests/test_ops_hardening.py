@@ -91,3 +91,60 @@ def test_hamming_hot_bucket_tier_is_exact(spark):
         if bin((ha ^ hb) & (2**64 - 1)).count("1") <= 3
     )
     assert got == expected
+
+
+def test_hamming_fast_path_equals_tiered(spark):
+    """The stats-driven fast path (max_bucket_hint <= bucket_cap) must emit
+    exactly the tiered plan's pairs, with a join-free single-grouping plan
+    (round-6 optimization: one shuffle instead of stats-join + tier union)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from image_deduplication_3m_images_spark.operators.dedup import (
+        hamming_bucket_stats,
+    )
+
+    rows = [(i, (i % 5) << 7) for i in range(40)] + [(100, 3), (101, 1)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    hint = hamming_bucket_stats(df, "h", radius=3).collect()[0]["max_bucket"]
+    assert hint is not None and hint <= 256
+    fast = hamming_block_pairs(df, "h", "id", radius=3, max_bucket_hint=hint)
+    tiered = hamming_block_pairs(df, "h", "id", radius=3)
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, tiered.collect()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fast.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_signlsh_neardup_cache_buckets_single_kernel_pass(spark):
+    """cache_buckets=True must return the identical pair set while reading
+    the bucketed projection from cache on both self-join sides (one bucket
+    kernel pass instead of two)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    from image_deduplication_3m_images_spark.operators.similarity import (
+        signlsh_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(24):
+        v = base + rng.standard_normal(8) * (0.05 if i % 3 == 0 else 2.0)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kwargs = dict(threshold=0.3, n_planes=3, n_tables=4, dim=8)
+    plain = signlsh_neardup_pairs(emb, **kwargs)
+    cached = signlsh_neardup_pairs(emb, cache_buckets=True, **kwargs)
+    key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 9))  # noqa: E731
+    assert sorted(map(key, cached.collect())) == sorted(map(key, plain.collect()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cached.explain("formatted")
+    assert "InMemoryTableScan" in buf.getvalue()
