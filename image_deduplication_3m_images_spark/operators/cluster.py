@@ -49,10 +49,11 @@ def connected_components(
     singletons with a left join (reference analog: singleton re-merge,
     ``memory_efficient_deduplication.py:79-99``).
 
-    Two-level design (the standard large-scale CC shape): after one count
-    of the edge table, graphs at or below ``max_local_edges`` are finished
-    DRIVER-SIDE with path-compressed union-find — ONE Spark job total
-    instead of one per iteration.  Dedup graphs are tiny relative to their
+    Two-level design (the standard large-scale CC shape): one probe action
+    (limit + Arrow transfer — it both sizes the graph and, when small,
+    already IS the collected edge list) routes graphs at or below
+    ``max_local_edges`` to a DRIVER-SIDE path-compressed union-find — ONE
+    Spark job total instead of one per iteration.  Dedup graphs are tiny relative to their
     corpora (edges ≈ duplicate pairs, a few percent of rows even on
     duplicate-heavy web data), so this path covers most real runs, every
     micro-batch of the streaming loop, and removes the iteration-count ×
@@ -70,11 +71,20 @@ def connected_components(
     used.  The caller owns cleanup of the directory once the result is
     materialized downstream.
     """
+    # ONE job decides the level AND fetches the small-graph edge list:
+    # limit(max+1).toPandas() returns the COMPLETE edge set whenever the
+    # graph is at or below the guard (a limit larger than the row count is
+    # the identity), so the common small case pays a single Arrow-transfer
+    # action instead of the old count-then-collect pair.  Only a guard-
+    # exceeding graph (rare) pays the probe twice — and for it the probe
+    # cost is trivial next to the iterative loop it routes to.
     edges_c = edges.persist()
-    n_edges = edges_c.count()
-    if n_edges <= max_local_edges:
+    probe = (
+        edges_c.select(id_a, id_b).limit(max_local_edges + 1).toPandas()
+    )
+    if len(probe) <= max_local_edges:
         try:
-            return _cc_local(edges_c, id_a, id_b)
+            return _cc_local(probe, edges_c.schema, id_a, id_b, edges.sparkSession)
         finally:
             edges_c.unpersist(blocking=False)
     edges = edges_c
@@ -238,15 +248,19 @@ def _cc_loop(
     return final
 
 
-def _cc_local(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    """Driver-side finish for small graphs: collect the (narrow, two-column)
-    edge list, run path-halving union-find, return the SAME (id, cluster_id)
-    frame the distributed loop would — cluster_id = min member id, only
-    edge-touched nodes present.  Works for any orderable id type (the loop's
-    contract); collection size is pre-guarded by the caller."""
+def _cc_local(pdf, schema, id_a: str, id_b: str, spark) -> DataFrame:
+    """Driver-side finish for small graphs: the caller hands over the
+    complete (narrow, two-column) edge list as a pandas frame — fetched
+    via Arrow (toPandas), not collect(): at the 2M-edge guard limit
+    collect() would build ~2M driver Row objects (~100s of MB) while the
+    Arrow path moves two flat columns (~32 MB of longs).  Runs
+    path-halving union-find and returns the SAME (id, cluster_id) frame
+    the distributed loop would — cluster_id = min member id, only
+    edge-touched nodes present.  Works for any orderable id type (the
+    loop's contract); collection size is pre-guarded by the caller."""
     from pyspark.sql.types import StructField, StructType
 
-    a_type = dict(zip(edges.schema.names, edges.schema.fields))[id_a].dataType
+    a_type = dict(zip(schema.names, schema.fields))[id_a].dataType
     parent: dict = {}
 
     def find(x):
@@ -257,11 +271,6 @@ def _cc_local(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # Arrow transfer (toPandas), not collect(): at the 2M-edge guard limit
-    # collect() would build ~2M driver Row objects (~100s of MB); the Arrow
-    # path moves two flat columns (~32 MB of longs) and .tolist() yields
-    # plain Python scalars for the dict
-    pdf = edges.select(id_a, id_b).toPandas()
     for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -272,11 +281,10 @@ def _cc_local(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     out = [(node, find(node)) for node in parent]
-    schema = StructType(
+    out_schema = StructType(
         [StructField("id", a_type, False), StructField("cluster_id", a_type, False)]
     )
-    spark = edges.sparkSession
-    return spark.createDataFrame(out, schema)
+    return spark.createDataFrame(out, out_schema)
 
 
 def attach_singletons(

@@ -176,12 +176,27 @@ def _sig(spark, sf_dir) -> DataFrame:
     simhash_pairs).  The pipeline's equivalent materialization is the
     checkpointed signatures table; here (immutable testdata, bounded size)
     a cached DataFrame plays that role.  The cache is session-bound via
-    _memo, so it dies with the session (no cross-session leak)."""
-    return _memo(
-        spark,
-        ("sig", sf_dir),
-        lambda: with_signatures(_docs(spark, sf_dir), CFG).cache(),
-    )
+    _memo, so it dies with the session (no cross-session leak).
+
+    ``band_keys`` is precomputed INTO the cache (round 6): three consumers
+    (lsh_bands, the candidate stage, its profile job) each re-derived the
+    16 md5 band keys per row from the cached minhash; materializing the
+    array once makes every explode_bands call a plain posexplode — the
+    same once-not-per-consumer rationale as the pipeline's checkpointed
+    band_keys column (identical formula, byte-equality test-pinned)."""
+    from image_deduplication_3m_images_spark.operators.lsh import band_key_expr
+
+    def build():
+        sig = with_signatures(_docs(spark, sf_dir), CFG)
+        keys = F.array(
+            *[
+                band_key_expr(F.col("minhash"), b, CFG.rows_per_band)
+                for b in range(CFG.bands)
+            ]
+        )
+        return sig.withColumn("band_keys", keys).cache()
+
+    return _memo(spark, ("sig", sf_dir), build)
 
 
 # Memoized per (live session, sf_dir): catalog queries share expensive
@@ -662,8 +677,13 @@ def q_ngram_jaccard(spark, sf_dir):
 # --- similarity search ---------------------------------------------------------
 
 def q_embedding_topk(spark, sf_dir):
+    # corpus side from the session cache; the QUERY side stays a direct
+    # load so the vec_id filter pushes into its parquet scan (the 100 TB
+    # shape, plan-tested) — the broadcast small side is where pushdown
+    # pays, the corpus side streams from cache
     emb = _emb(spark, sf_dir)
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).select(
+    queries = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine"
     )
 
@@ -676,9 +696,10 @@ def q_embedding_topk_lsh(spark, sf_dir):
     hyperplanes, so the DuckDB oracle evaluates the identical expression
     (oracles.py emits the same float literals)."""
     emb = _emb(spark, sf_dir)
+    queries = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
     return signlsh_topk(
         emb,
-        emb.where(F.col("vec_id") < 10),
+        queries,
         k=5,
         n_planes=5,
         n_tables=8,
