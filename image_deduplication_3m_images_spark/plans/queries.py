@@ -57,11 +57,16 @@ CFG = DedupConfig()
 # Corpus tables: every consumer runs per-row kernels over them (Arrow
 # signature/bucket UDFs, tokenization + n-gram expression chains, regex
 # scans, mapInPandas fingerprints) — the tables where a single-task scan
-# serializes real compute.  The relational tables (lineitem, orders,
-# events, ...) feed pure columnar aggregates/joins whose first shuffle
-# repartitions anyway; pre-spreading them was measured pure overhead
-# (event_windows 0.38 s -> 1.3 s), so they pass through untouched.
+# serializes real compute, so they spread at ~256 rows/task.  The
+# relational tables (lineitem, orders, events, ...) feed pure columnar
+# aggregates/joins whose first shuffle repartitions anyway; pre-spreading
+# them at sf0.1 was measured pure overhead (event_windows 0.38 s ->
+# 1.3 s).  They are NOT exempt forever, though: a single-row-group file
+# above ~2M rows serializes even cheap columnar aggregation for seconds,
+# so past that threshold they spread too (~1M rows/task — JVM agg
+# throughput is ~100-1000x a Python kernel's, hence the coarser target).
 _SPREAD_TABLES = {"documents", "embeddings"}
+_RELATIONAL_SPREAD_ROWS = 2_000_000
 
 
 def load(
@@ -88,15 +93,14 @@ def load(
     8-16 at sf0.1 for exactly that reason).  Decision memoized per
     (session, table) — immutable testdata, one planning probe per table.
     ``SPARK_GRAFT_SPREAD`` forces a specific partition count (experiments).
+    ``spread`` overrides the kernel-table classification for a call site
+    (True = treat as kernel table, False = relational thresholds).
     """
     import os
 
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
-    if spread is None:
-        spread = table in _SPREAD_TABLES
-    if not spread:
-        return df
+    kernel_table = table in _SPREAD_TABLES if spread is None else spread
     par = spark.sparkContext.defaultParallelism
     forced = int(os.environ.get("SPARK_GRAFT_SPREAD", "0"))
 
@@ -104,7 +108,7 @@ def load(
         """Target partition count, 0 = leave the scan alone."""
         if df.rdd.getNumPartitions() >= par:
             return 0  # real input: scan already parallel, pay nothing
-        if forced:
+        if forced and kernel_table:
             return forced
         # footer row counts are a driver-side metadata read — no Spark job
         try:
@@ -119,12 +123,18 @@ def load(
             )
             rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         except Exception:
-            return par
-        if rows < 50 * par:
-            return 0  # not worth an exchange below ~50 rows/core
-        return min(par, max(8, rows // 256))
+            return par if kernel_table else 0
+        if kernel_table:
+            if rows < 50 * par:
+                return 0  # not worth an exchange below ~50 rows/core
+            return min(par, max(8, rows // 256))
+        # relational table: only a multi-million-row single-task scan is
+        # worth an exchange (cheap per-row work; see _RELATIONAL_SPREAD_ROWS)
+        if rows <= _RELATIONAL_SPREAD_ROWS:
+            return 0
+        return min(par, max(8, rows // 1_000_000))
 
-    target = _memo(spark, ("scan_parts", sf_dir, table), _probe)
+    target = _memo(spark, ("scan_parts", sf_dir, table, kernel_table), _probe)
     return df.repartition(target) if target else df
 
 

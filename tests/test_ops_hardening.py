@@ -148,3 +148,28 @@ def test_signlsh_neardup_cache_buckets_single_kernel_pass(spark):
     with redirect_stdout(buf):
         cached.explain("formatted")
     assert "InMemoryTableScan" in buf.getvalue()
+
+
+def test_load_spread_thresholds(spark, tmp_path, monkeypatch):
+    """load()'s adaptive scan spreading: kernel tables spread at ~256
+    rows/task; relational tables stay untouched below the multi-million-row
+    threshold and spread above it (round 6 — the single-row-group input
+    skew fix must not be tuned to one scale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_deduplication_3m_images_spark.plans import queries as Q
+
+    pq.write_table(
+        pa.table({"doc_id": list(range(4000)), "text": ["x"] * 4000}),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    # kernel-table classification ("documents"): spreads
+    assert Q.load(spark, sf, "documents").rdd.getNumPartitions() > 1
+    # relational classification: below the threshold, untouched
+    assert Q.load(spark, sf, "documents", spread=False).rdd.getNumPartitions() == 1
+    # relational above the threshold: spreads
+    monkeypatch.setattr(Q, "_RELATIONAL_SPREAD_ROWS", 1000)
+    Q._MEMO.pop(("scan_parts", sf, "documents", False), None)
+    assert Q.load(spark, sf, "documents", spread=False).rdd.getNumPartitions() > 1
