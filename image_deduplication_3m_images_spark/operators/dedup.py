@@ -41,6 +41,28 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def _hamming_chunks_expr(hash_col: str, radius: int):
+    """THE pigeonhole chunk layout, shared by the profile and the operator:
+    radius+1 chunks covering all 64 bits (last chunk takes the remaining
+    high bits).  One definition — a divergence between the profile's and
+    the operator's layout would let a stale ``max_bucket_hint`` disable the
+    skew guard on a bucket the operator actually builds."""
+    n_chunks = radius + 1
+    width = 64 // n_chunks
+
+    def chunk_expr(i: int):
+        bits = 64 - width * i if i == n_chunks - 1 else width
+        shifted = F.shiftright(F.col(hash_col), width * i)
+        if bits >= 64:
+            # radius=0 degenerate case: the single chunk is the whole hash.
+            # (1<<64)-1 overflows LongType; the all-ones long is -1, and
+            # masking with it is the identity — skip it.
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
+    return F.array(*[chunk_expr(i) for i in range(n_chunks)])
+
+
 def hamming_bucket_stats(
     df: DataFrame, hash_col: str, radius: int = 3
 ) -> DataFrame:
@@ -50,18 +72,8 @@ def hamming_bucket_stats(
     (the same stats-driven plan choice as ``operators/lsh.py``; the profile
     doubles as the lineage/metrics record, so skew handling is never
     silent)."""
-    n_chunks = radius + 1
-    width = 64 // n_chunks
     df = df.where(F.col(hash_col).isNotNull())
-
-    def chunk_expr(i: int):
-        bits = 64 - width * i if i == n_chunks - 1 else width
-        shifted = F.shiftright(F.col(hash_col), width * i)
-        if bits >= 64:
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
-
-    chunks = F.array(*[chunk_expr(i) for i in range(n_chunks)])
+    chunks = _hamming_chunks_expr(hash_col, radius)
     return (
         df.select(F.posexplode(chunks).alias("chunk_id", "chunk"))
         .groupBy("chunk_id", "chunk")
@@ -106,21 +118,7 @@ def hamming_block_pairs(
     # all land in ONE unbounded collect_list) and their pairs are discarded
     # by the bit_count filter anyway — drop them up front
     df = df.where(F.col(hash_col).isNotNull())
-    n_chunks = radius + 1
-    width = 64 // n_chunks
-
-    def chunk_expr(i: int):
-        # last chunk takes the remaining high bits so all 64 are covered
-        bits = 64 - width * i if i == n_chunks - 1 else width
-        shifted = F.shiftright(F.col(hash_col), width * i)
-        if bits >= 64:
-            # radius=0 degenerate case: the single chunk is the whole hash.
-            # (1<<64)-1 overflows LongType; the all-ones long is -1, and
-            # masking with it is the identity — skip it.
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
-
-    chunks = F.array(*[chunk_expr(i) for i in range(n_chunks)])
+    chunks = _hamming_chunks_expr(hash_col, radius)
     blocks = df.select(
         F.col(id_col), F.col(hash_col).alias("h"),
         F.posexplode(chunks).alias("chunk_id", "chunk"),

@@ -112,16 +112,7 @@ def load(
             return forced
         # footer row counts are a driver-side metadata read — no Spark job
         try:
-            import glob
-
-            import pyarrow.parquet as pq
-
-            files = (
-                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-                if os.path.isdir(path)
-                else [path]
-            )
-            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            rows = _table_rows(spark, sf_dir, table)
         except Exception:
             return par if kernel_table else 0
         if kernel_table:

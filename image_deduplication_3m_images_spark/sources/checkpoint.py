@@ -131,16 +131,24 @@ class ParquetCatalog:
         # a crash mid-write leaves a _tmp_ dir).  Once this commit stands,
         # any survivor is stale — and a stale _old_ left in place would be
         # RESURRECTED by _heal if the table is later drop()ped.  Append
-        # tmp dirs (``_tmp_append_*``) are excluded: a CONCURRENT append's
-        # in-flight batch is not this overwrite's garbage to collect
-        # (ADVICE r5 — the old glob would delete it mid-write).
+        # tmp dirs (``_tmp_append_*``) get an AGE guard instead of the
+        # blanket sweep: a fresh one may be a CONCURRENT append's in-flight
+        # batch (ADVICE r5 — the old glob deleted it mid-write), while an
+        # hour-old one is crashed-append debris that nothing else collects.
         import glob
+        import time
 
-        stales = glob.glob(final + "_old_*") + [
-            d
-            for d in glob.glob(final + "_tmp_*")
-            if not d.startswith(final + "_tmp_append_")
-        ]
+        append_prefix = final + "_tmp_append_"
+        stales = glob.glob(final + "_old_*")
+        for d in glob.glob(final + "_tmp_*"):
+            if not d.startswith(append_prefix):
+                stales.append(d)
+                continue
+            try:
+                if time.time() - os.path.getmtime(d) > 3600:
+                    stales.append(d)
+            except OSError:
+                pass  # raced with the append's commit rename: leave it
         for stale in stales:
             shutil.rmtree(stale, ignore_errors=True)
         return self.snapshot_id(table)

@@ -330,8 +330,10 @@ def _update_url_bloom(
                 extra={"needed_bytes": m_bits // 8, "max_bytes": max_bytes},
             )
             # persist the decision: m_bits=0 sentinel keeps later batches
-            # from re-sizing and re-logging this every trigger
-            _store_url_bloom(spark, cat, b"", 0, 0, n_total, 0)
+            # from re-sizing and re-logging this every trigger; n_capacity
+            # records the max_bytes that drove it, so the sentinel gate is
+            # constant-time until the budget is actually raised
+            _store_url_bloom(spark, cat, b"", 0, 0, n_total, max_bytes)
             return
         bitmap, m_bits, k = build_bloom(_corpus_ids(), ID, params=(m_bits, k))
         _store_url_bloom(spark, cat, bitmap, m_bits, k, n_total, capacity)
@@ -340,15 +342,21 @@ def _update_url_bloom(
     if state["m_bits"] == 0:
         # disabled sentinel — but ``max_bytes`` may have been RAISED since
         # the decision (ADVICE r5: the sentinel was permanent, leaving the
-        # routing off forever).  Re-size against the current corpus; when
-        # the filter now fits, rebuild and re-enable, else stay disabled
-        # (the original decision is already logged — no re-log per batch,
-        # and the sizing math here is driver-side arithmetic, not a job).
+        # routing off forever).  The sentinel's ``n_capacity`` field records
+        # the max_bytes that drove the disable (0 for pre-fix sentinels), so
+        # the common path — same budget as last time — stays a constant-time
+        # return; only a CHANGED budget pays the re-sizing (and at most once
+        # per change: a still-too-small budget is re-recorded below).
+        if max_bytes <= state["n_capacity"]:
+            return
         n_committed = cat.row_count("signatures") if has_old else 0
         n_total = n_committed + n_new
         capacity = max(expected, 2 * n_total)
         m_bits, k = bloom_params(capacity, fpp)
         if m_bits // 8 > max_bytes:
+            # still too big: refresh the recorded budget so the next batch
+            # with this max_bytes returns at the constant-time gate above
+            _store_url_bloom(spark, cat, b"", 0, 0, state["n_inserted"], max_bytes)
             return
         bitmap, m_bits, k = build_bloom(_corpus_ids(), ID, params=(m_bits, k))
         _store_url_bloom(spark, cat, bitmap, m_bits, k, n_total, capacity)

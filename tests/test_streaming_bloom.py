@@ -231,3 +231,27 @@ def test_bloom_counter_stable_under_crash_replay(spark, tmp_path):
     n_final = _load_url_bloom(cat)["n_inserted"]
     assert n_final == n_after_crash  # replayed urls contribute zero
     assert n_final <= pages.select("url").distinct().count()  # never over
+
+
+def test_bloom_sentinel_reenables_when_budget_raised(spark, tmp_path):
+    """The disabled sentinel must not be permanent (ADVICE r5): a later
+    batch arriving with a RAISED max_bytes re-sizes against the committed
+    corpus and re-enables the bloom (logged once); the sentinel gate stays
+    constant-time for batches with the unchanged budget."""
+    fx = generate_pages(n_rows=60, seed=43)
+    pages = pages_dataframe(spark, fx)
+    b0, b1 = _split_batches(pages, 2)
+    cfg = DedupConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    ingest_neardup_batch(
+        spark, b0, 0, cat, cfg, url_bloom=True, url_bloom_max_bytes=1
+    )
+    state = _load_url_bloom(cat)
+    assert state["m_bits"] == 0 and state["n_capacity"] == 1  # budget recorded
+    ingest_neardup_batch(
+        spark, b1, 1, cat, cfg, url_bloom=True, url_bloom_max_bytes=10_000_000
+    )
+    state = _load_url_bloom(cat)
+    assert state["m_bits"] > 0  # rebuilt and re-enabled
+    ev = cat.read("_lineage").where(F.col("stage") == "url_bloom_reenabled")
+    assert ev.count() == 1

@@ -254,16 +254,18 @@ def test_fingerprints_df_one_row_per_doc_fp(spark):
     assert out.schema["fp"].dataType.simpleString() == "bigint"
 
 
-def test_hash_first_verify_kernels_match_char_reference():
+def test_hash_first_verify_kernels_match_char_reference(spark):
     """Round-6: the exact-verify kernels screen pairs with rolling byte-hash
     intersection and confirm only collision positions (VERDICT r5 item 1).
-    Pin them against the plain char-gram reference on ASCII, multi-byte,
-    and no-share pairs — including a long-doc pair where the old kernel's
-    per-pair gram set was the memory hazard."""
+    Drive the ACTUAL pandas UDFs (not a re-implementation) against the
+    plain char-gram reference on ASCII, multi-byte, no-share, and long-doc
+    pairs — the long pair is where the old kernel's per-pair gram set was
+    the memory hazard."""
     import random
 
     from image_deduplication_3m_images_spark.operators.substring import (
-        _hash_candidates,
+        _shared_positions_udf,
+        _shares_gram_udf,
     )
 
     L = 40
@@ -274,11 +276,11 @@ def test_hash_first_verify_kernels_match_char_reference():
 
     shared = rand_text(55)
     cases = [
-        (rand_text(200) + shared + rand_text(100), shared + rand_text(300), True),
-        (rand_text(400), rand_text(400), None),  # compare vs reference
-        ("ü" * 30 + shared, shared + "é" * 20, True),          # multi-byte
-        (rand_text(30), rand_text(500), False),                 # too short
-        (rand_text(5000) + shared, rand_text(8000) + shared, True),  # long
+        (rand_text(200) + shared + rand_text(100), shared + rand_text(300)),
+        (rand_text(400), rand_text(400)),                    # no share
+        ("\u00fc" * 30 + shared, shared + "\u00e9" * 20),  # multi-byte
+        (rand_text(60), rand_text(30)),                      # one too short
+        (rand_text(5000) + shared, rand_text(8000) + shared),  # long docs
     ]
 
     def ref_shares(x, y):
@@ -293,28 +295,22 @@ def test_hash_first_verify_kernels_match_char_reference():
         grams = {x[j:j + L] for j in range(len(x) - L + 1)}
         return [j for j in range(len(y) - L + 1) if y[j:j + L] in grams]
 
-    def kernel_shares(x, y):
-        cand = _hash_candidates(x, y, L)
-        if cand is None:
-            return False
-        px, py, bx, by = cand
-        if len(bx) == len(x) and len(by) == len(y):
-            gx = {bx[j:j + L] for j in px.tolist()}
-            return any(by[j:j + L] in gx for j in py.tolist())
-        return ref_shares(x, y)
-
-    def kernel_positions(x, y):
-        cand = _hash_candidates(x, y, L)
-        if cand is None:
-            return []
-        px, py, bx, by = cand
-        if len(bx) == len(x) and len(by) == len(y):
-            gx = {bx[j:j + L] for j in px.tolist()}
-            return [j for j in py.tolist() if by[j:j + L] in gx]
-        return ref_positions(x, y)
-
-    for x, y, expect in cases:
-        want = ref_shares(x, y) if expect is None else expect
-        if len(x) >= L and len(y) >= L:
-            assert kernel_shares(x, y) == want == ref_shares(x, y), (x[:50], y[:50])
-            assert kernel_positions(x, y) == ref_positions(x, y)
+    df = spark.createDataFrame(cases, "text_a string, text_b string")
+    got = (
+        df.select(
+            "text_a",
+            "text_b",
+            _shares_gram_udf(L)("text_a", "text_b").alias("s"),
+            _shared_positions_udf(L)("text_a", "text_b").alias("p"),
+        )
+        .collect()
+    )
+    checked = 0
+    for r in got:
+        x, y = r["text_a"], r["text_b"]
+        assert r["s"] == ref_shares(x, y), (x[:50], y[:50])
+        assert list(r["p"]) == ref_positions(x, y), (x[:50], y[:50])
+        checked += 1
+    assert checked == len(cases)
+    # and at least one case exercised each outcome
+    assert any(r["s"] for r in got) and any(not r["s"] for r in got)

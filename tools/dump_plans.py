@@ -1,11 +1,11 @@
 """Dump .explain("formatted") for every declared query to plans/<tag>/.
 
-Usage: python tools/dump_plans.py <tag> [query ...]
+Usage: python tools/dump_plans.py [tag] [suffix] [query ...]
 
-Queries are built in bench order (memoized shared stages are present the
+Queries are built in catalog order (memoized shared stages are present the
 same way they are during a bench run) and each plan is written to
-plans/<tag>/<query>_<suffix>.txt where <suffix> is the second CLI arg
-(default "before").  Pass query names to restrict the dump.
+plans/<tag>/<query>_<suffix>.txt (defaults: tag "r06", suffix "before").
+Query names after the suffix restrict the dump to those queries.
 """
 
 from __future__ import annotations
