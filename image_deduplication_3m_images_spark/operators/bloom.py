@@ -148,8 +148,19 @@ def _or_reduce(partials: DataFrame, n_bytes: int) -> bytes:
     a time via toLocalIterator — so peak residency everywhere is ONE bitmap
     plus the accumulator, never √P bitmaps.  (Per-partition imperative
     fold over opaque byte blobs is the one shape where the RDD API is the
-    right tool — there is no columnar structure for Catalyst to use.)"""
+    right tool — there is no columnar structure for Catalyst to use.)
+
+    Small-case shortcut (round 6): when even ALL partials fit comfortably
+    on the driver (≤ 64 MB — e.g. a KB-sized bloom over a few dozen scan
+    partitions), the reduce tree + per-partition toLocalIterator job chain
+    is pure overhead; one collect job ORs them directly.  The streaming
+    tree remains the path for corpus-scale partition counts."""
     n_parts = partials.rdd.getNumPartitions()
+    if n_parts * n_bytes <= 64 * 1024 * 1024:
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for r in partials.collect():
+            acc |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+        return acc.tobytes()
     fan_in = max(1, int(math.sqrt(max(1, n_parts))))
 
     def _or_iter(rows):

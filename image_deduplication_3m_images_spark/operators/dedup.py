@@ -276,13 +276,19 @@ def repetition_stats(
     (Rae et al. 2021, table A1) and the standard pre-LSH quality gate in a
     web-corpus pipeline.
 
-    Scale shape: token counts are pure codegen column expressions (no UDF,
-    no shuffle); the bigram mode needs a per-(doc, bigram) count, done as
-    explode -> two-level groupBy, so only (8-byte id, ~2-token string) rows
-    ever enter an exchange — the corpus text column itself never shuffles.
-    The final join back to the per-doc stats is id-keyed and AQE picks
-    broadcast vs SMJ by measured size.  Fractions are emitted as plain IEEE
-    divisions (no rounding) so the DuckDB oracle reproduces them bit-for-bit.
+    Scale shape (round 6): ZERO shuffles — every output is a per-row
+    codegen expression.  The mode of a doc's bigram multiset equals the
+    longest equal-run in the SORTED bigram array, so ``top_bigram_count``
+    is one `aggregate` fold over `sort_array(bigrams)` with a
+    (prev, run, best) struct accumulator — per-row O(n log n) on n ≈
+    doc-token counts, instead of exploding every bigram of the corpus into
+    a two-level groupBy (the previous shape shuffled one row per bigram
+    occurrence corpus-wide, then joined back; at 100 TB that is a shuffle
+    proportional to the token count of the corpus, for a statistic each
+    row can compute locally).  Fractions are emitted as plain IEEE
+    divisions (no rounding) so the DuckDB oracle reproduces them
+    bit-for-bit — the oracle still computes the mode the explode/groupBy
+    way, which is exactly what makes this rewrite oracle-checked.
     """
     toks = tokens_expr(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("toks")).select(
@@ -291,33 +297,55 @@ def repetition_stats(
         F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
         "toks",
     )
-    bigrams = base.where(F.col("n_tokens") >= 2).select(
-        id_col,
-        F.explode(word_ngrams_window_expr(F.col("toks"), 2)).alias("bigram"),
+    # total expression (empty array below 2 tokens, like word_ngrams_expr):
+    # the window formula is only valid for size >= n, and guarding at the
+    # CONSUMING expression is not enough — subexpression elimination may
+    # hoist a shared subtree above its CASE WHEN and evaluate it eagerly
+    sorted_bigrams = F.sort_array(
+        F.when(
+            F.size("toks") >= 2, word_ngrams_window_expr(F.col("toks"), 2)
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
     )
-    per_doc = (
-        bigrams.groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.max("c").cast("int").alias("top_bigram_count"),
-            F.sum("c").cast("int").alias("n_bigrams"),
-        )
+    # longest equal-run in the sorted array == max multiplicity of any
+    # bigram; fold state: (prev value, current run, best run)
+    best_run = F.aggregate(
+        sorted_bigrams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, b: F.struct(
+            b.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == b), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    acc["prev"].isNotNull() & (acc["prev"] == b), acc["run"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    joined = base.drop("toks").join(per_doc, id_col, "left")
     n_tok_d = F.col("n_tokens").cast("double")
-    return joined.select(
+    n_bigrams = F.when(
+        F.col("n_tokens") >= 2, (F.col("n_tokens") - 1).cast("int")
+    ).otherwise(F.lit(0))
+    top_count = best_run.cast("int")  # empty bigram array folds to 0
+    return base.select(
         id_col,
         "n_tokens",
         "n_distinct",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+        n_bigrams.alias("n_bigrams"),
+        top_count.alias("top_bigram_count"),
         F.when(F.col("n_tokens") == 0, F.lit(0.0))
         .otherwise(F.lit(1.0) - F.col("n_distinct").cast("double") / n_tok_d)
         .alias("dup_token_frac"),
-        F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+        F.when(F.col("n_tokens") < 2, F.lit(0.0))
         .otherwise(
-            F.col("top_bigram_count").cast("double") / F.col("n_bigrams").cast("double")
+            top_count.cast("double") / n_bigrams.cast("double")
         )
         .alias("top_bigram_frac"),
     )

@@ -509,9 +509,12 @@ def ingest_neardup_batch(
             probe = might_contain_col(
                 spark, bloom_state["bitmap"], bloom_state["m_bits"], bloom_state["k"]
             )
+            # lazy checkpoint materialized by the count — ONE job for
+            # truncate+materialize+count instead of two (same fusion as
+            # the CC loop's probe); batch-sized, consumed by count + join
             batch_ids = batch_ids.where(
                 probe(F.xxhash64(F.col(ID)), F.xxhash64(F.col(ID), F.lit(_H2_SALT)))
-            ).localCheckpoint(eager=True)  # batch-sized; consumed by count + join
+            ).localCheckpoint(eager=False)
             n_maybe = batch_ids.count()
         if n_maybe != 0:
             existing = (
@@ -548,7 +551,9 @@ def ingest_neardup_batch(
     sig_new = (
         build_signatures(batch_df, cfg)
         .withColumn("batch_id", F.lit(batch_id))
-        .localCheckpoint(eager=True)  # used 4x below; batch-sized, not corpus-sized
+        # lazy: the count below materializes the checkpoint in the same
+        # job (used 4x below; batch-sized, not corpus-sized)
+        .localCheckpoint(eager=False)
     )
     n_new = sig_new.count()
     if url_bloom:
