@@ -322,7 +322,13 @@ def q_boilerplate_ngrams(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    return exact_duplicates(_docs(spark, sf_dir), "doc_id").select(
+    """spread=False: the per-row work here is ONE JVM sha256 (trivial next
+    to an exchange) and the very next operator is the window shuffle on
+    the hash, which redistributes anyway — pre-spreading the scan was
+    measured pure overhead (+0.2-0.4 s), the same reasoning as the
+    relational tables (whose >2M-row guard still applies here)."""
+    docs = load(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
+    return exact_duplicates(docs, "doc_id").select(
         "doc_id",
         "text_sha256",
         "cluster_id",
@@ -567,7 +573,10 @@ def q_doc_packing(spark, sf_dir):
         pack_documents,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    # spread=False: one token-count expression per row, then the packing
+    # operator's own bucket shuffle redistributes — same rationale as
+    # q_exact_dedup (the >2M-row relational guard still applies)
+    docs = load(spark, sf_dir, "documents", spread=False).select(
         "doc_id", n_tokens_ws_expr(F.col("text")).alias("n_tokens")
     )
     # small bucket size so the sf0.01 gate exercises MULTIPLE buckets (the
