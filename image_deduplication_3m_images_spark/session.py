@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan INSIDE cached plans too (off by default): without
+        # it every .persist()/.cache() materialization keeps the static
+        # shuffle-partition count — measured as 128-tiny-task stages on
+        # cached intermediates (verify pass-A, CC edge probes) and a
+        # consistent ~1 s on the 20k-doc pipeline in an alternated A/B.
+        # The trade (a consumer may lose output-partitioning reuse and
+        # re-shuffle) doesn't bite here: cached frames feed aggregations/
+        # joins that AQE replans anyway, at every scale.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Finer scan granularity: checkpoint tables are large (the corpus-
