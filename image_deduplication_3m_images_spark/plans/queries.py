@@ -129,8 +129,27 @@ def load(
     return df.repartition(target) if target else df
 
 
+def _docs_full(spark, sf_dir) -> DataFrame:
+    """Documents frame, memoized + cached per (session, sf_dir): ~30
+    catalog queries scan the corpus table, and each previously paid its own
+    parquet scan + spread exchange — two sequential AQE stage-jobs of pure
+    fixed driver/scheduler cost per query at bench scale.  Same rationale
+    and lifetime as ``_emb`` (the cache dies with the session; a fresh
+    bench invocation recomputes from parquet).  The cache holds the spread
+    partitioning, so consumers read an already-parallel InMemoryTableScan
+    with no exchange, and the columnar cache batches still serve column
+    pruning and filter evaluation per consumer.  DataFrame.cache() is
+    MEMORY_AND_DISK: a corpus bigger than memory spills instead of
+    failing, and a 100 TB deployment reads its checkpointed/bucketed
+    warehouse tables instead of re-scanning raw input per query — this
+    memo is the session-local stand-in for exactly that."""
+    return _memo(
+        spark, ("docs", sf_dir), lambda: load(spark, sf_dir, "documents").cache()
+    )
+
+
 def _docs(spark, sf_dir) -> DataFrame:
-    return load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _docs_full(spark, sf_dir).select("doc_id", "text")
 
 
 def _table_rows(spark, sf_dir: str, table: str) -> int:
@@ -246,7 +265,7 @@ def _cands(spark, sf_dir, sig=None) -> DataFrame:
 def q_lang_stats(spark, sf_dir):
     """Scan + aggregation (S1 analog); column pruning reaches the parquet
     footer (plan-tested) — no row filter in this query by design."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_full(spark, sf_dir)
     return (
         docs.groupBy("lang")
         .agg(
@@ -322,11 +341,16 @@ def q_boilerplate_ngrams(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    """spread=False: the per-row work here is ONE JVM sha256 (trivial next
-    to an exchange) and the very next operator is the window shuffle on
-    the hash, which redistributes anyway — pre-spreading the scan was
-    measured pure overhead (+0.2-0.4 s), the same reasoning as the
-    relational tables (whose >2M-row guard still applies here)."""
+    """spread=False AND not via the shared documents cache: the per-row
+    work here is ONE JVM sha256 (trivial next to an exchange) and the very
+    next operator is the window shuffle on the hash, which redistributes
+    anyway — pre-spreading the scan was measured pure overhead
+    (+0.2-0.4 s), and reading the session cache instead was measured worse
+    too (+0.5 s: this is the FIRST documents consumer in the bench, so it
+    would pay the cache materialization that the later, kernel-heavy
+    consumers amortize; the plain 1-task scan is cheaper than scan +
+    exchange + cache write for a query whose first operator shuffles
+    regardless).  The >2M-row relational guard still applies."""
     docs = load(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
     return exact_duplicates(docs, "doc_id").select(
         "doc_id",
@@ -445,7 +469,7 @@ def q_test_path_flags(spark, sf_dir):
         is_test_path_expr,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "source")
     path = (
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -483,7 +507,7 @@ def q_url_dedup(spark, sf_dir):
         canonical_url_expr,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "n_chars")
     d = F.col("doc_id")
     raw = F.concat(
         F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
@@ -529,7 +553,7 @@ def q_pii_stats(spark, sf_dir):
         sha256_expr,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     d = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -573,9 +597,11 @@ def q_doc_packing(spark, sf_dir):
         pack_documents,
     )
 
-    # spread=False: one token-count expression per row, then the packing
-    # operator's own bucket shuffle redistributes — same rationale as
-    # q_exact_dedup (the >2M-row relational guard still applies)
+    # spread=False and NOT via the shared documents cache: one token-count
+    # expression per row, then the packing operator's own bucket shuffle
+    # redistributes — same rationale as q_exact_dedup, and the cached
+    # 19-partition read was measured +0.3 s vs the 1-task scan here (the
+    # prefix-sum phases pay per-input-partition task overhead)
     docs = load(spark, sf_dir, "documents", spread=False).select(
         "doc_id", n_tokens_ws_expr(F.col("text")).alias("n_tokens")
     )
@@ -595,7 +621,7 @@ def q_stratified_sample(spark, sf_dir):
     )
 
     rates = {"en": 100, "de": 500, "fr": 500, "es": 500, "zh": 250}
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "lang")
     bucket = hash_bucket_expr(F.col("doc_id"))
     rate = F.lit(0)
     for lang, permille in rates.items():
@@ -617,7 +643,7 @@ def q_contamination(spark, sf_dir):
         contamination_flags,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     eval_df = docs.where(F.col("doc_id") % 50 == 0)
     corpus = docs.where(F.col("doc_id") % 50 != 0)
     # driver-side form-picking estimate replaces the count job: ~64
@@ -634,7 +660,7 @@ def q_length_quantiles(spark, sf_dir):
     shuffle of per-partition sketches, never a per-group sort of the corpus.
     The per-language length CDF is what sets a training pipeline's document
     truncation and packing thresholds."""
-    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = _docs_full(spark, sf_dir).select("lang", "n_chars")
     pct = F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
     return (
         docs.groupBy("lang")
@@ -761,7 +787,7 @@ def q_quality_funnel(spark, sf_dir):
         tokens_expr,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     toks = tokens_expr(F.col("text"))
     n_tok = F.size(toks)
     mean_len = F.round(
@@ -1073,7 +1099,7 @@ def q_incremental_new_docs(spark, sf_dir):
     shuffle bytes, never change rows)."""
     from image_deduplication_3m_images_spark.operators.bloom import incremental_new
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _docs_full(spark, sf_dir).select(
         "doc_id", sha256_expr(F.col("text")).alias("text_sha256")
     )
     seen = docs.where(F.col("doc_id") % 7 != 0).select("text_sha256")
@@ -1120,7 +1146,7 @@ def q_domain_stats(spark, sf_dir):
     from image_deduplication_3m_images_spark.functions.text import url_domain_expr
 
     docs = _synth_urls(
-        load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        _docs_full(spark, sf_dir).select("doc_id", "lang", "n_chars")
     )
     return docs.groupBy(url_domain_expr(F.col("url")).alias("domain")).agg(
         F.count("*").alias("n_docs"),
@@ -1141,7 +1167,7 @@ def q_domain_capped(spark, sf_dir):
     survivors — semantics here stay exact for the oracle."""
     from image_deduplication_3m_images_spark.functions.text import url_domain_expr
 
-    docs = _synth_urls(load(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    docs = _synth_urls(_docs_full(spark, sf_dir).select("doc_id", "n_chars"))
     d = docs.select(
         "doc_id", "n_chars", url_domain_expr(F.col("url")).alias("domain")
     )
@@ -1166,7 +1192,7 @@ def q_domain_topk(spark, sf_dir):
     from image_deduplication_3m_images_spark.functions.text import url_domain_expr
     from image_deduplication_3m_images_spark.operators.topk import top_k_per_group
 
-    docs = _synth_urls(load(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    docs = _synth_urls(_docs_full(spark, sf_dir).select("doc_id", "n_chars"))
     d = docs.select(
         "doc_id", "n_chars", url_domain_expr(F.col("url")).alias("domain")
     )
@@ -1189,7 +1215,7 @@ def q_substring_pairs(spark, sf_dir):
         shared_substring_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     return shared_substring_pairs(docs, min_len=40)
 
 
@@ -1203,7 +1229,7 @@ def q_dup_span_stats(spark, sf_dir):
         duplicated_spans,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     spans = duplicated_spans(docs, min_len=40)
     return spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
@@ -1220,7 +1246,7 @@ def q_span_cleaned_digest(spark, sf_dir):
         remove_duplicated_spans,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     cleaned = remove_duplicated_spans(docs, min_len=40)
     return cleaned.select(
         "doc_id",
@@ -1246,7 +1272,7 @@ def q_substring_clusters(spark, sf_dir):
         attach_singletons,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_full(spark, sf_dir).select("doc_id", "text")
     pairs = shared_substring_pairs(docs, min_len=40)
     return attach_singletons(
         connected_components(pairs), docs.select("doc_id"), "doc_id"
