@@ -274,8 +274,34 @@ def band_keys_from_packed_expr(minhash_bin, cfg: DedupConfig):
     (unpack -> join -> md5 -> truncate) stays inside whole-stage codegen —
     no per-row Python anywhere in the band-key path (VERDICT r3 item 4:
     the old Python ``_band_keys`` loop was 16 interpreter-level md5 calls
-    per document inside the hot signature UDF)."""
+    per document inside the hot signature UDF).
+
+    ``minhash_bin`` may be a column NAME (preferred): the whole array is
+    then rendered as ONE SQL string and parsed JVM-side in a single call —
+    the compositional Column form issued ~500 driver py4j round trips
+    (measured 0.5-0.9 s of pure driver time per invocation, paid by every
+    ``run_dedupe`` call and every streaming micro-batch); the parsed
+    expression tree is the same function-for-function chain, and
+    string-vs-Column equality is pinned in tests/test_packed_signatures.py.
+    A Column argument still takes the compositional path."""
     r = cfg.rows_per_band
+
+    if isinstance(minhash_bin, str):
+        col = minhash_bin
+
+        def dec_s(i: int) -> str:
+            # decimal STRING of the i-th packed uint64 (values < 2**61, so
+            # the unsigned hex interpretation matches str(v) exactly)
+            return f"conv(hex(substring({col}, {i * 8 + 1}, 8)), 16, 10)"
+
+        bands_sql = []
+        for b in range(cfg.bands):
+            joined = ", ".join(dec_s(b * r + j) for j in range(r))
+            bands_sql.append(
+                "cast(conv(substring(md5(cast(concat_ws('_', "
+                f"{joined}) as binary)), 1, 15), 16, 10) as bigint)"
+            )
+        return F.expr("array(" + ", ".join(bands_sql) + ")")
 
     def dec(i: int):
         # decimal STRING of the i-th packed uint64 (values < 2**61, so the

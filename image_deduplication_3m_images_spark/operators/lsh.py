@@ -201,6 +201,7 @@ def hot_bucket_probe(
     n_rows: int | None = None,
     target_sample: int = 50_000,
     seed: int = 42,
+    reps_df: DataFrame | None = None,
 ) -> dict:
     """Sampled skew probe for the candidate-pair plan choice.
 
@@ -217,7 +218,12 @@ def hot_bucket_probe(
     size, and at (say) 100M rows a 3000-member bucket would land ~1.5
     sampled members — a ~22% chance of zero, and a miss routes the plan
     to the fast path whose per-bucket pair expansion is O(B^2).  The
-    sampled fraction therefore has a floor (see the miss-cap math below —
+    ``reps_df``: optional pre-collapsed representative frame (id + band
+    keys, one row per distinct text) — when the probe is EXACT
+    (fraction >= 1, i.e. small inputs) the caller's rep frame is the
+    identical groupBy, so reusing it removes a duplicate corpus-wide sha
+    shuffle; ignored when sampling (the sampled path must collapse after
+    sampling).  The sampled fraction has a floor (see the miss-cap math below —
     the cap scales with a user-raised ``bucket_star_cap``): any bucket the
     fast path could not absorb (> ~_PROBE_MISS_CAP members,
     ~C(cap,2)=8.4M pairs in one task) lands >= ~10 expected sampled
@@ -242,10 +248,21 @@ def hot_bucket_probe(
         if not n_rows or n_rows <= target_sample
         else max(target_sample / n_rows, floor)
     )
-    s = narrow_sig if fraction >= 1.0 else narrow_sig.sample(False, fraction, seed)
-    reps = s.groupBy(sha_col).agg(
-        F.min(id_col).alias(id_col), F.first("band_keys").alias("band_keys")
-    )
+    if fraction >= 1.0 and reps_df is not None:
+        # exact probe + caller already built the collapsed rep frame (the
+        # pipeline's rep_bands is this very groupBy): reuse it instead of
+        # re-running the sha shuffle.  Only legal un-sampled — a sample
+        # must collapse AFTER sampling to keep the fraction math honest.
+        reps = reps_df
+    else:
+        s = (
+            narrow_sig
+            if fraction >= 1.0
+            else narrow_sig.sample(False, fraction, seed)
+        )
+        reps = s.groupBy(sha_col).agg(
+            F.min(id_col).alias(id_col), F.first("band_keys").alias("band_keys")
+        )
     row = (
         explode_bands(reps, cfg, id_col)
         .groupBy("band_id", "band_key")

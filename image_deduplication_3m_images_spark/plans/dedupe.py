@@ -63,7 +63,7 @@ def build_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     # band keys derived JVM-side from the packed minhash (codegen; identical
     # md5 formula as the oracle) — the UDF returns scalars/binaries only
     sig = sig.withColumn(
-        "band_keys", band_keys_from_packed_expr(F.col("minhash_bin"), cfg)
+        "band_keys", band_keys_from_packed_expr("minhash_bin", cfg)
     )
     sig = with_quality(sig, "text")
     sig = sig.withColumn("text_sha256", sha256_expr(F.col("text")))
@@ -207,6 +207,9 @@ def run_dedupe(
             signatures.select("sid", "text_sha256", "band_keys"),
             cfg,
             n_rows=cat.row_count("signatures"),
+            # when the probe is exact (small inputs) it reuses this frame
+            # instead of re-running the identical sha-collapse shuffle
+            reps_df=rep_bands,
         )
         hint = None if bucket_profile["hot_detected"] else 0
         cands = stage(

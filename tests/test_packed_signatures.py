@@ -70,6 +70,14 @@ def test_packed_band_keys_equal_jvm_expr(spark):
     a = {r["url"]: list(r["keys"]) for r in jvm.collect()}
     b = {r["url"]: list(r["keys"]) for r in unp.collect()}
     assert a == b
+    # the single-parse SQL-string form (what the pipeline passes) must be
+    # byte-identical to the compositional Column form
+    unp_s = packed.select(
+        "url",
+        band_keys_from_packed_expr("minhash_bin", CFG).alias("keys"),
+    )
+    c = {r["url"]: list(r["keys"]) for r in unp_s.collect()}
+    assert a == c
 
 
 def test_packed_matches_equal_array_matches(spark):
