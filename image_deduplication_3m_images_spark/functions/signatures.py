@@ -287,7 +287,10 @@ def band_keys_from_packed_expr(minhash_bin, cfg: DedupConfig):
     r = cfg.rows_per_band
 
     if isinstance(minhash_bin, str):
-        col = minhash_bin
+        # backtick-quote so names needing quoting (spaces, reserved words)
+        # parse, and dotted names stay literal column references instead of
+        # resolving as struct-field access
+        col = f"`{minhash_bin}`"
 
         def dec_s(i: int) -> str:
             # decimal STRING of the i-th packed uint64 (values < 2**61, so

@@ -191,6 +191,9 @@ def candidate_pairs(
 # largest bucket the fast path is allowed to absorb undetected: C(4096, 2)
 # ~ 8.4M pair structs in one task (~130 MB) — bounded; see hot_bucket_probe
 _PROBE_MISS_CAP = 4096
+# below this row count the probe is EXACT (fraction 1.0) — callers use it
+# to decide whether a pre-collapsed reps_df will actually be consumed
+PROBE_TARGET_SAMPLE = 50_000
 
 
 def hot_bucket_probe(
@@ -199,7 +202,7 @@ def hot_bucket_probe(
     id_col: str = "sid",
     sha_col: str = "text_sha256",
     n_rows: int | None = None,
-    target_sample: int = 50_000,
+    target_sample: int = PROBE_TARGET_SAMPLE,
     seed: int = 42,
     reps_df: DataFrame | None = None,
 ) -> dict:
@@ -221,9 +224,11 @@ def hot_bucket_probe(
     ``reps_df``: optional pre-collapsed representative frame (id + band
     keys, one row per distinct text) — when the probe is EXACT
     (fraction >= 1, i.e. small inputs) the caller's rep frame is the
-    identical groupBy, so reusing it removes a duplicate corpus-wide sha
-    shuffle; ignored when sampling (the sampled path must collapse after
-    sampling).  The sampled fraction has a floor (see the miss-cap math below —
+    identical groupBy.  NOTE: the probe's collect is its own action, so
+    the sha shuffle is only actually shared with the caller's later
+    consumption if the caller PERSISTS reps_df across both actions (the
+    pipeline does, gated on ``PROBE_TARGET_SAMPLE``); ignored when
+    sampling (the sampled path must collapse after sampling).  The sampled fraction has a floor (see the miss-cap math below —
     the cap scales with a user-raised ``bucket_star_cap``): any bucket the
     fast path could not absorb (> ~_PROBE_MISS_CAP members,
     ~C(cap,2)=8.4M pairs in one task) lands >= ~10 expected sampled

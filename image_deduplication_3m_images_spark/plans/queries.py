@@ -263,8 +263,11 @@ def _cands(spark, sf_dir, sig=None) -> DataFrame:
 # --- S1/S8 scans + G6 agg ---------------------------------------------------
 
 def q_lang_stats(spark, sf_dir):
-    """Scan + aggregation (S1 analog); column pruning reaches the parquet
-    footer (plan-tested) — no row filter in this query by design."""
+    """Scan + aggregation (S1 analog); reads the session documents cache,
+    and column pruning reaches the cache scan (plan-tested: the
+    InMemoryTableScan outputs only the 3 needed columns; parquet-footer
+    pruning itself is covered by test_partition_pruning_reaches_scan on a
+    direct read) — no row filter in this query by design."""
     docs = _docs_full(spark, sf_dir)
     return (
         docs.groupBy("lang")
